@@ -1,0 +1,1 @@
+"""(populated as the build proceeds)"""
