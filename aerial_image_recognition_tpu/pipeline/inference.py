@@ -36,16 +36,19 @@ class DetectStep:
 
 def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                    src_size: Optional[int] = None,
-                   crop_size: Optional[int] = None):
+                   crop_size: Optional[int] = None,
+                   model_size: Optional[int] = None):
     """Build the pure (params, images_u8, bounds) → results function.
 
     src_size: source pixel edge of incoming tiles (e.g. 1024 mosaics or 864
-    crops); defaults to the model input size. The whole chain is one XLA
-    program: normalize/resize fuses into the first conv, NMS and georef run
-    on device so only ~max_det·6 floats return to host per tile.
+    crops); defaults to the model input size. model_size overrides the
+    network input edge (fully-convolutional, used for tiny-shape dry runs).
+    The whole chain is one XLA program: normalize/resize fuses into the
+    first conv, NMS and georef run on device so only ~max_det·6 floats
+    return to host per tile.
     """
     spec = bundle.spec
-    model_size = spec.input_size
+    model_size = model_size or spec.input_size
 
     def detect(params, images_u8, bounds):
         x = preprocess_batch(

@@ -1,0 +1,145 @@
+"""Fetch plane tests — hermetic, against the in-process fake tile server."""
+
+import numpy as np
+import pytest
+
+from aerial_image_recognition_tpu.fetch.fake import (
+    FakeTileServer, FakeWorld, FaultConfig,
+)
+from aerial_image_recognition_tpu.fetch.xyz import XYZFetcher
+from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+from aerial_image_recognition_tpu.fetch.wmts import WMTSFetcher, parse_capabilities
+from aerial_image_recognition_tpu.fetch.cache import TileCache
+from aerial_image_recognition_tpu.geo import generate_tiles
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = FakeTileServer(FakeWorld(n_cars=50, seed=7))
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_xyz_get_image_geometry(server):
+    f = XYZFetcher(server.xyz_template, zoom=18, num_workers=8,
+                   subdomains=("",))
+    try:
+        img = f.get_image(52.2, 21.0, target_size_m=64.0)
+        assert img is not None
+        # bounds span ≈ 64 m
+        w, s, e, n = img.bounds
+        assert abs((e - w) * 111319.9 * np.cos(np.radians(52.2)) - 64.0) < 0.5
+        assert abs((n - s) * 111319.9 - 64.0) < 0.5
+        assert img.pixels.dtype == np.uint8
+        assert img.pixels.shape[0] == img.pixels.shape[1] == img.meta["crop_size"]
+        assert img.pixels.mean() > 10   # actually rendered, not black
+    finally:
+        f.close()
+
+
+def test_xyz_cache_hits(server):
+    f = XYZFetcher(server.xyz_template, zoom=18, num_workers=8,
+                   subdomains=("",))
+    try:
+        f.get_image(52.2, 21.0)
+        before = server.request_count
+        f.get_image(52.2, 21.0)    # all tiles cached
+        hits, misses = f.cache.stats()
+        assert hits > 0
+        assert server.request_count == before
+    finally:
+        f.close()
+
+
+def test_wms_fetch_batch_and_preview(server):
+    f = WMSFetcher(server.base_url + "/wms", layer="fake", size=(128, 128),
+                   num_workers=4, submit_spacing=0.0)
+    try:
+        tiles = generate_tiles((20.995, 52.195, 21.0, 52.2), 64.0, 0.2)[:6]
+        out = f.fetch_batch([tuple(t) for t in tiles])
+        assert all(o is not None for o in out)
+        assert out[0].pixels.shape == (128, 128, 3)
+        pv = f.preview_geojson([tuple(t) for t in tiles])
+        assert len(pv["features"]) == 6
+        assert pv["properties"]["stats"]["successes"] >= 6
+    finally:
+        f.close()
+
+
+def test_wms_retry_sweep_recovers_failures(server):
+    server.faults.drop_rate = 0.3
+    try:
+        f = WMSFetcher(server.base_url + "/wms", layer="fake",
+                       size=(64, 64), num_workers=4, submit_spacing=0.0,
+                       retries=3)
+        tiles = generate_tiles((20.995, 52.195, 21.0, 52.2), 64.0, 0.2)[:8]
+        out = f.fetch_batch([tuple(t) for t in tiles],
+                            retry_delays=(0.05, 0.1))
+        # layered retry (per-request backoff + failed-tile sweep) must
+        # recover everything at 30% drop rate
+        assert all(o is not None for o in out)
+        assert f.http.stats.failures > 0   # failures actually happened
+        assert len(f.http.failures) > 0
+        analysis = f.http.failures.analyze()
+        assert analysis["by_type"].get("HTTP500", 0) > 0
+        f.close()
+    finally:
+        server.faults.drop_rate = 0.0
+
+
+def test_rate_limit_respected(server):
+    # high rate: the transport layer may transparently absorb some 429s,
+    # this guarantees our retry loop sees at least one
+    server.faults.rate_limit_rate = 0.8
+    server.faults.retry_after = 0.01
+    try:
+        f = WMSFetcher(server.base_url + "/wms", layer="fake",
+                       size=(64, 64), num_workers=2, submit_spacing=0.0)
+        out = f.fetch_batch([(20.999, 52.199, 21.0, 52.2)] * 16,
+                            retry_delays=(0.05,))
+        assert all(o is not None for o in out)
+        assert f.http.stats.rate_limited > 0
+        f.close()
+    finally:
+        server.faults.rate_limit_rate = 0.0
+
+
+def test_wmts_capabilities_and_neighborhood(server):
+    f = WMTSFetcher(server.base_url + "/wmts", layer="fake",
+                    matrix_set="FAKE2180", crs=2180, num_workers=4)
+    try:
+        zooms = f.available_zooms()
+        assert len(zooms) == 2
+        # pixel span = scale · 0.00028
+        assert zooms[0][1] == pytest.approx(1785.7142857142856 * 0.00028)
+        img = f.fetch_neighborhood(21.0, 52.2, zooms[0][0], radius=1)
+        assert img is not None
+        assert img.pixels.shape == (768, 768, 3)
+        w, s, e, n = img.bounds
+        assert w < 21.0 < e and s < 52.2 < n
+    finally:
+        f.close()
+
+
+def test_tile_cache_lru_eviction():
+    c = TileCache(capacity=2)
+    c.put("a", 1)
+    c.put("b", 2)
+    assert c.get("a") == 1      # refresh 'a'
+    c.put("c", 3)               # evicts 'b'
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("c") == 3
+
+
+def test_fake_world_renders_cars_consistently(server):
+    # The same geographic window requested twice renders identically
+    world = server.world
+    img1 = world.render((20.999, 52.199, 21.001, 52.201), 256, 256)
+    img2 = world.render((20.999, 52.199, 21.001, 52.201), 256, 256)
+    np.testing.assert_array_equal(img1, img2)
+    # a window containing a known car has bright pixels
+    lon, lat, _ = world.cars[0]
+    img = world.render((lon - 3e-4, lat - 3e-4, lon + 3e-4, lat + 3e-4),
+                       256, 256)
+    assert img.max() >= 230
