@@ -54,8 +54,14 @@ class XYZFetcher:
         self.subdomains = list(subdomains) or [""]
         self._sub_idx = 0
         self._sub_lock = threading.Lock()
+        # Two pools: image-level tasks must never share a pool with the
+        # tile GETs they wait on (self-deadlock when the outer tasks occupy
+        # every worker).
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers,
-                                           thread_name_prefix="xyz")
+                                           thread_name_prefix="xyz-tile")
+        self._img_pool = cf.ThreadPoolExecutor(
+            max_workers=max(2, num_workers // 4),
+            thread_name_prefix="xyz-img")
 
     # ------------------------------------------------------------ tiles
 
@@ -84,15 +90,29 @@ class XYZFetcher:
 
     # ---------------------------------------------------------- mosaics
 
-    def get_image(self, lat: float, lon: float,
-                  target_size_m: Optional[float] = None) -> Optional[TileImage]:
-        """Mosaic the slippy tiles covering a target_size_m square centered
-        on (lat, lon); returns the *uncropped-but-trimmed* pixel window whose
-        bounds exactly cover the target square (monolith get_image
-        semantics, simple_detector.py:326-453)."""
+    def window_px(self, lat: float,
+                  target_size_m: Optional[float] = None) -> int:
+        """Pixels covering target_size_m ground at this zoom and latitude
+        (per-latitude mpp, simple_detector.py:327-329 semantics)."""
         size_m = target_size_m or self.target_size_m
         mpp = meters_per_pixel(self.zoom, lat=lat, xp=np)
-        pixels_needed = int(size_m / float(mpp))
+        return int(size_m / float(mpp))
+
+    def get_image(self, lat: float, lon: float,
+                  target_size_m: Optional[float] = None,
+                  window_px: Optional[int] = None) -> Optional[TileImage]:
+        """Mosaic the slippy tiles around (lat, lon) and extract the pixel
+        window covering a target_size_m square (monolith get_image
+        semantics, simple_detector.py:326-453).
+
+        window_px pins the window to a fixed pixel size (static shapes for
+        the batched device path); the returned ``bounds`` are the *exact*
+        geographic bounds of the returned pixels, computed in Mercator space
+        where slippy pixels are linear — so georeferencing stays exact even
+        when the window is pinned.
+        """
+        size_m = target_size_m or self.target_size_m
+        pixels_needed = window_px or self.window_px(lat, size_m)
 
         m2lon = 1.0 / (111319.9 * math.cos(math.radians(lat)))
         m2lat = 1.0 / 111319.9
@@ -122,39 +142,57 @@ class XYZFetcher:
         if ok == 0:
             return None
 
-        # Geographic bounds of the mosaic, then pixel window of the target
-        m_west, _, _, m_north = tile_bounds(min_x, min_y, self.zoom)
-        _, m_south, m_east, _ = tile_bounds(max_x, max_y, self.zoom)
-        x_scale = mosaic.shape[1] / (m_east - m_west)
-        y_scale = mosaic.shape[0] / (m_north - m_south)
-        left = int((west - m_west) * x_scale)
-        top = int((m_north - north) * y_scale)
+        # Pixel ↔ geography mapping, exact in slippy space: 2^z·256 pixels
+        # span the world both in x and in Mercator y.
+        n_world = (2 ** self.zoom) * t
+        px_per_deg = n_world / 360.0
+
+        def lat_to_py(la):
+            return (1.0 - math.asinh(math.tan(math.radians(la))) / math.pi) \
+                / 2.0 * n_world
+
+        def py_to_lat(py):
+            return math.degrees(math.atan(math.sinh(
+                math.pi * (1.0 - 2.0 * py / n_world))))
+
+        origin_px = min_x * t                 # world pixel x of mosaic left
+        origin_py = min_y * t                 # world pixel y of mosaic top
+        left = int(round((west + 180.0) * px_per_deg - origin_px))
+        top = int(round(lat_to_py(north) - origin_py))
+        left = max(0, min(left, mosaic.shape[1] - pixels_needed))
+        top = max(0, min(top, mosaic.shape[0] - pixels_needed))
         window = mosaic[top:top + pixels_needed, left:left + pixels_needed]
-        if window.shape[0] != pixels_needed or window.shape[1] != pixels_needed:
-            pad = np.zeros((pixels_needed, pixels_needed, 3), np.uint8)
-            pad[:window.shape[0], :window.shape[1]] = window
-            window = pad
+
+        # Exact bounds of the returned pixels
+        w_exact = (origin_px + left) / px_per_deg - 180.0
+        e_exact = (origin_px + left + pixels_needed) / px_per_deg - 180.0
+        n_exact = py_to_lat(origin_py + top)
+        s_exact = py_to_lat(origin_py + top + pixels_needed)
+        mpp = meters_per_pixel(self.zoom, lat=lat, xp=np)
         return TileImage(
-            pixels=window, bounds=(west, south, east, north),
+            pixels=np.ascontiguousarray(window),
+            bounds=(w_exact, s_exact, e_exact, n_exact),
             meta={"zoom": self.zoom,
                   "tiles_total": len(coords), "tiles_ok": ok,
                   "meters_per_pixel": float(mpp),
                   "crop_size": pixels_needed})
 
     def fetch_batch(self, bboxes: Sequence[Tuple[float, float, float, float]],
-                    progress=None) -> List[Optional[TileImage]]:
+                    progress=None, window_px: Optional[int] = None
+                    ) -> List[Optional[TileImage]]:
         """WGS84 tile bboxes → tile images (modular fetch_batch signature,
         _script/xyz_handler.py:228-248: center computed from the bbox)."""
         def one(bbox):
             lon_c = (bbox[0] + bbox[2]) / 2
             lat_c = (bbox[1] + bbox[3]) / 2
-            out = self.get_image(lat_c, lon_c)
+            out = self.get_image(lat_c, lon_c, window_px=window_px)
             if progress is not None:
                 progress.update(1)
             return out
-        futures = [self._pool.submit(one, b) for b in bboxes]
+        futures = [self._img_pool.submit(one, b) for b in bboxes]
         return [f.result() for f in futures]
 
     def close(self):
+        self._img_pool.shutdown(wait=False, cancel_futures=True)
         self._pool.shutdown(wait=False, cancel_futures=True)
         self.http.close()

@@ -1,0 +1,157 @@
+"""Host-side ingest plane: fetch → batch → prefetch → device.
+
+The reference couples fetching and inference serially per batch
+(_script/detector.py:117-155: fetch_batch blocks, then process_batch
+blocks). Here the stages are pipelined: fetcher threads produce TileImages,
+an assembler packs fixed-shape uint8 batches (padding the tail; XLA needs
+static shapes), a bounded queue decouples stages, and the executor uploads
+batch N+1 (async device_put) while batch N computes — so fetch, H2D DMA,
+and TPU compute overlap. The pipeline tolerates fetch:infer throughput
+ratios far below 1 by simply backpressuring on the queue
+(SURVEY.md §7 hard part #3).
+"""
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aerial_image_recognition_tpu.fetch.xyz import TileImage
+
+
+@dataclass
+class TileBatch:
+    indices: np.ndarray      # [B] int64 global tile indices (−1 = padding)
+    images: np.ndarray       # [B, S, S, 3] uint8
+    bounds: np.ndarray       # [B, 4] float32 (west, south, east, north)
+    n_valid: int
+    failed_indices: List[int] = field(default_factory=list)
+
+
+def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
+                     batch_size: int, src_size: int
+                     ) -> Iterator[TileBatch]:
+    """Pack (index, TileImage) streams into fixed-shape batches.
+
+    Failed tiles (None) are recorded, not batched. The final partial batch
+    is zero-padded with index −1 so every device step sees identical shapes
+    (one compiled program for the whole scan).
+    """
+    imgs = np.zeros((batch_size, src_size, src_size, 3), dtype=np.uint8)
+    bnds = np.zeros((batch_size, 4), dtype=np.float32)
+    idxs = np.full((batch_size,), -1, dtype=np.int64)
+    fill = 0
+    failed: List[int] = []
+    for index, tile in tiles:
+        if tile is None:
+            failed.append(index)
+            continue
+        px = tile.pixels
+        if px.shape[0] != src_size or px.shape[1] != src_size:
+            raise ValueError(
+                f"tile {index}: got {px.shape[:2]}, expected {src_size}² — "
+                "fetchers must emit fixed-size windows (window_px/wms_size)")
+        imgs[fill] = px
+        bnds[fill] = tile.bounds
+        idxs[fill] = index
+        fill += 1
+        if fill == batch_size:
+            yield TileBatch(idxs.copy(), imgs.copy(), bnds.copy(),
+                            fill, failed)
+            fill, failed = 0, []
+            idxs[:] = -1
+    if fill or failed:
+        imgs[fill:] = 0
+        bnds[fill:] = (0, 0, 1e-6, 1e-6)   # degenerate but finite bounds
+        yield TileBatch(idxs.copy(), imgs.copy(), bnds.copy(), fill, failed)
+
+
+class ThreadedPrefetcher:
+    """Runs a batch generator on a daemon thread into a bounded queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, gen: Iterator[TileBatch], depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+
+        def run():
+            try:
+                for item in gen:
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
+            except BaseException as e:     # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="ingest-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+    def close(self):
+        self._stop.set()
+
+
+def run_pipeline(batches: Iterable[TileBatch],
+                 step: Callable[[np.ndarray, np.ndarray], tuple],
+                 on_result: Callable[[TileBatch, tuple], None],
+                 prefetch_device: bool = True) -> dict:
+    """Drive batches through a device step with H2D/compute overlap.
+
+    ``step(images_u8, bounds)`` must be an async-dispatching jitted call;
+    ``on_result`` receives (batch, device_outputs) and is where host
+    readback (and therefore synchronization) happens — by the time result N
+    is being read back, batch N+1's upload and compute are already in
+    flight.
+    """
+    import jax
+
+    stats = {"batches": 0, "tiles": 0, "failed": 0,
+             "h2d_s": 0.0, "compute_s": 0.0}
+    it = iter(batches)
+    pending: List[Tuple[TileBatch, tuple]] = []
+
+    def upload(b: TileBatch):
+        t0 = time.perf_counter()
+        d = (jax.device_put(b.images), jax.device_put(b.bounds))
+        stats["h2d_s"] += time.perf_counter() - t0
+        return d
+
+    nxt = next(it, None)
+    d_nxt = upload(nxt) if nxt is not None else None
+    while nxt is not None:
+        cur, d_cur = nxt, d_nxt
+        nxt = next(it, None)
+        d_nxt = upload(nxt) if nxt is not None else None
+        t0 = time.perf_counter()
+        out = step(*d_cur)                 # async dispatch
+        pending.append((cur, out))
+        if len(pending) > 1 or nxt is None:
+            for b, o in pending:
+                on_result(b, o)            # host readback syncs here
+                stats["batches"] += 1
+                stats["tiles"] += b.n_valid
+                stats["failed"] += len(b.failed_indices)
+            pending.clear()
+        stats["compute_s"] += time.perf_counter() - t0
+    return stats

@@ -1,0 +1,101 @@
+"""Command-line interface.
+
+The reference has no CLI — entry scripts hardcode config dicts
+(car_detection_on_wms.py:11-15, simple_detector.py:710-713; SURVEY.md §5
+config/flag system). This exposes the same knobs (same key names as
+DEFAULT_CONFIG) as flags, plus a resolution sweep subcommand mirroring
+test_configurations.py.
+
+Usage:
+  python -m aerial_image_recognition_tpu detect --frame warsaw.shp \
+      --xyz-url "http://mt{s}.google.com/vt/lyrs=s&x={x}&y={y}&z={z}" --use-xyz
+  python -m aerial_image_recognition_tpu sweep --frame warsaw.shp
+"""
+
+import argparse
+import json
+import sys
+from typing import Dict, List, Optional
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--base-dir", default=".")
+    p.add_argument("--frame", dest="frame_path",
+                   help="AOI frame (.shp or .geojson)")
+    p.add_argument("--model", dest="model_path", default="yolov7_itcvd")
+    p.add_argument("--wms-url", dest="wms_url")
+    p.add_argument("--wms-layer", dest="wms_layer")
+    p.add_argument("--xyz-url", dest="xyz_url")
+    p.add_argument("--use-xyz", dest="use_xyz", action="store_true",
+                   default=None)
+    p.add_argument("--zoom", type=int)
+    p.add_argument("--tile-size-meters", dest="tile_size_meters", type=float)
+    p.add_argument("--tile-overlap", dest="tile_overlap", type=float)
+    p.add_argument("--confidence-threshold", dest="confidence_threshold",
+                   type=float)
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--device-batch", dest="device_batch", type=int)
+    p.add_argument("--checkpoint-interval", dest="checkpoint_interval",
+                   type=int)
+    p.add_argument("--duplicate-distance", dest="duplicate_distance",
+                   type=float)
+    p.add_argument("--num-workers", dest="num_workers", type=int)
+    p.add_argument("--output-prefix", dest="output_prefix")
+    p.add_argument("--event-log", dest="event_log")
+    p.add_argument("--params", dest="params_path",
+                   help="model parameter checkpoint (.npz)")
+
+
+def _overrides(args) -> Dict:
+    skip = {"base_dir", "command", "force_restart", "interactive",
+            "params_path"}
+    return {k: v for k, v in vars(args).items()
+            if v is not None and k not in skip}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="aerial_image_recognition_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    pd = sub.add_parser("detect", help="run a city scan")
+    _add_common(pd)
+    pd.add_argument("--force-restart", action="store_true")
+    pd.add_argument("--interactive", action="store_true")
+
+    ps = sub.add_parser("sweep", help="resolution sweep "
+                        "(test_configurations.py parity)")
+    _add_common(ps)
+    ps.add_argument("--tile-sizes", default="100,64,51.2,25,20",
+                    help="comma-separated tile sizes in meters")
+
+    pb = sub.add_parser("bench", help="throughput benchmark")
+    pb.add_argument("--batch", type=int, default=128)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "detect":
+        from aerial_image_recognition_tpu.pipeline.detector import CarDetector
+        det = CarDetector(args.base_dir, _overrides(args))
+        out = det.detect(interactive=args.interactive,
+                         force_restart=args.force_restart)
+        print(json.dumps(out, default=str))
+        return 0
+
+    if args.command == "sweep":
+        from aerial_image_recognition_tpu.pipeline.sweep import run_sweep
+        sizes = [float(s) for s in args.tile_sizes.split(",")]
+        out = run_sweep(args.base_dir, _overrides(args), sizes)
+        print(json.dumps(out, indent=2, default=str))
+        return 0
+
+    if args.command == "bench":
+        import os
+        os.environ["BENCH_BATCH"] = str(args.batch)
+        import bench
+        return bench.main() or 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

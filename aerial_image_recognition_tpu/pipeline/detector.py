@@ -1,0 +1,267 @@
+"""CarDetector — the end-to-end city-scan orchestrator.
+
+Public API mirrors the reference (_script/detector.py:18-237):
+``CarDetector(base_dir, custom_config).detect(interactive=False,
+force_restart=False)`` — load AOI frame, generate the deterministic metric
+tile grid, stream imagery through the fetch plane, run the batched fused
+TPU detection step, georeference, periodically dedup + checkpoint, and emit
+GeoJSON/shapefile results.
+
+TPU-first differences from the reference: one compiled program handles
+preprocess→detect→NMS→georef for a whole batch (vs per-image ONNX calls),
+fetch/H2D/compute are pipelined (ingest.pipeline), and dedup is the
+grid-bucketed vectorized version (post.dedup) instead of a python rtree loop.
+"""
+
+import os
+import signal
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+from aerial_image_recognition_tpu.fetch.xyz import XYZFetcher
+from aerial_image_recognition_tpu.geo.polygon import polygon_bounds
+from aerial_image_recognition_tpu.geo.tiles import generate_tiles
+from aerial_image_recognition_tpu.gio.geojson import read_polygons
+from aerial_image_recognition_tpu.gio.shapefile import read_polygons_shp
+from aerial_image_recognition_tpu.ingest.pipeline import (
+    ThreadedPrefetcher, assemble_batches,
+)
+from aerial_image_recognition_tpu.pipeline.inference import build_detect_step
+from aerial_image_recognition_tpu.post.georef import detections_to_records
+from aerial_image_recognition_tpu.post.results import ResultsManager
+from aerial_image_recognition_tpu.runtime.checkpoint import (
+    CheckpointManager, CheckpointState, grid_fingerprint,
+)
+from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+from aerial_image_recognition_tpu.runtime.observability import (
+    DeviceMonitor, EventLog, PhaseTimer,
+)
+
+
+class CarDetector:
+    def __init__(self, base_dir: str = ".",
+                 custom_config: Optional[Dict] = None,
+                 fetcher=None, detect_step=None):
+        """fetcher/detect_step injection keeps integration tests hermetic
+        (fake server + tiny model) without patching."""
+        self.base_dir = base_dir
+        self.config = DetectorConfig().merged(custom_config or {})
+        self.timers = PhaseTimer()
+        self.events = EventLog(self.config.event_log)
+        self._paths()
+        self._fetcher = fetcher
+        self._detect_step = detect_step
+        self._interrupted = False
+
+    # ------------------------------------------------------------ setup
+
+    def _paths(self):
+        c = self.config
+        self.frame_path = (c.frame_path if os.path.isabs(c.frame_path)
+                           else os.path.join(self.base_dir, "gis", "frames",
+                                             c.frame_path))
+        if not os.path.exists(self.frame_path):
+            self.frame_path = os.path.join(self.base_dir, c.frame_path)
+        self.output_dir = os.path.join(self.base_dir, "output")
+        self.checkpoint_dir = os.path.join(self.output_dir, "checkpoints")
+
+    def _load_frame(self):
+        if self.frame_path.lower().endswith((".geojson", ".json")):
+            polys = read_polygons(self.frame_path)
+        else:
+            polys = read_polygons_shp(self.frame_path)
+        if not polys:
+            raise ValueError(f"no polygons in frame {self.frame_path}")
+        all_rings = [r for p in polys for r in p]
+        return polys, polygon_bounds(all_rings)
+
+    def _make_fetcher(self, center_lat: float):
+        c = self.config
+        if self._fetcher is not None:
+            return self._fetcher
+        if c.use_xyz:
+            if not c.xyz_url:
+                raise ValueError("use_xyz=True requires xyz_url")
+            return XYZFetcher(c.xyz_url, zoom=c.zoom,
+                              target_size_m=c.tile_size_meters,
+                              num_workers=c.num_workers,
+                              timeout=c.fetch_timeout,
+                              retries=c.fetch_retries)
+        return WMSFetcher(c.wms_url, c.wms_layer, srs=c.wms_srs,
+                          size=c.wms_size, image_format=c.wms_format,
+                          num_workers=c.num_workers,
+                          timeout=c.fetch_timeout, retries=c.fetch_retries)
+
+    # ------------------------------------------------------------ detect
+
+    def detect(self, interactive: bool = False,
+               force_restart: bool = False) -> Dict:
+        c = self.config
+        t_start = time.time()
+
+        with self.timers.phase("setup"):
+            polys, bounds = self._load_frame()
+
+        with self.timers.phase("grid_creation"):
+            tiles = generate_tiles(bounds, c.tile_size_meters, c.tile_overlap)
+        self.events.emit("grid", tiles=len(tiles), bounds=list(bounds))
+        fingerprint = grid_fingerprint(bounds, c.tile_size_meters,
+                                       c.tile_overlap, len(tiles))
+
+        ckpt = CheckpointManager(self.checkpoint_dir, prefix=c.output_prefix)
+        results = ResultsManager(self.output_dir, prefix=c.output_prefix,
+                                 duplicate_distance=c.duplicate_distance)
+        start_index = 0
+        if not force_restart:
+            state = ckpt.load()
+            if state is not None:
+                if state.grid_fingerprint not in (None, fingerprint):
+                    raise RuntimeError(
+                        "checkpoint grid mismatch — AOI/tile config changed; "
+                        "pass force_restart=True to discard it")
+                if interactive:
+                    ans = input(f"Resume from tile {state.processed_count}"
+                                f"/{state.total_tiles}? (y/n): ")
+                    if ans.strip().lower() != "y":
+                        state = None
+                if state is not None:
+                    start_index = state.processed_count
+                    results.add(state.detections)
+                    print(f"Resuming from tile {start_index}/{len(tiles)} "
+                          f"with {len(state.detections)} detections")
+
+        fetcher = self._make_fetcher(center_lat=(bounds[1] + bounds[3]) / 2)
+        step = self._detect_step or build_detect_step(
+            c, batch=c.device_batch,
+            src_size=self._src_size(fetcher, bounds))
+
+        monitor = DeviceMonitor(interval=c.monitor_interval,
+                                event_log=self.events, print_line=False)
+        monitor.start()
+        prev_sig = signal.getsignal(signal.SIGINT)
+        signal.signal(signal.SIGINT, self._on_interrupt)
+
+        processed = start_index
+        since_ckpt = 0
+        exc: Optional[BaseException] = None
+        try:
+            with self.timers.phase("processing"):
+                gen = self._tile_stream(fetcher, tiles, start_index, step)
+                prefetch = ThreadedPrefetcher(gen, depth=c.prefetch_batches)
+                for batch in prefetch:
+                    out = step(batch.images, batch.bounds)
+                    recs, covs = self._collect(batch, out, step)
+                    results.add(recs, covs)
+                    processed += batch.n_valid + len(batch.failed_indices)
+                    since_ckpt += batch.n_valid + len(batch.failed_indices)
+                    if since_ckpt >= c.checkpoint_interval:
+                        self._checkpoint(ckpt, results, processed,
+                                         len(tiles), fingerprint)
+                        since_ckpt = 0
+                    if self._interrupted:
+                        raise KeyboardInterrupt
+        except BaseException as e:        # checkpoint on ANY failure
+            exc = e
+        finally:
+            signal.signal(signal.SIGINT, prev_sig)
+            monitor.stop()
+            if exc is not None:
+                self._checkpoint(ckpt, results, processed, len(tiles),
+                                 fingerprint)
+                self.events.emit("aborted", processed=processed,
+                                 error=repr(exc))
+                if self._fetcher is None:
+                    fetcher.close()
+                if isinstance(exc, KeyboardInterrupt):
+                    print(f"\nInterrupted at tile {processed}; "
+                          "checkpoint saved.")
+                    return {"interrupted": True, "processed": processed}
+                raise exc
+
+        with self.timers.phase("duplicate_removal"):
+            results.remove_duplicates()
+        with self.timers.phase("saving"):
+            stats = (fetcher.http.stats.summary()
+                     if hasattr(fetcher, "http") else {})
+            out_path = results.process_results(metadata={
+                "config": {"tile_size_meters": c.tile_size_meters,
+                           "tile_overlap": c.tile_overlap,
+                           "confidence_threshold": c.confidence_threshold,
+                           "model": c.model_path},
+                "fetch_stats": stats,
+                "phase_timings": self.timers.report(),
+                "wall_clock_s": round(time.time() - t_start, 2),
+            })
+        ckpt.clear()                      # success → checkpoint removed
+        if self._fetcher is None:
+            fetcher.close()
+        print(self.timers.format_report())
+        self.events.emit("done", detections=len(results.detections),
+                         tiles=len(tiles))
+        return {"detections": len(results.detections),
+                "tiles": len(tiles), "output": out_path,
+                "timings": self.timers.report()}
+
+    # ---------------------------------------------------------- helpers
+
+    def _src_size(self, fetcher, bounds) -> int:
+        if isinstance(fetcher, XYZFetcher):
+            return fetcher.window_px((bounds[1] + bounds[3]) / 2,
+                                     self.config.tile_size_meters)
+        if isinstance(fetcher, WMSFetcher):
+            return fetcher.size[0]
+        return self.config.model_input_size[0]
+
+    def _tile_stream(self, fetcher, tiles, start_index, step):
+        """Fetch tiles (chunked, parallel inside the fetcher) and stream
+        (index, TileImage) pairs into fixed-shape device batches."""
+        c = self.config
+        src = step.input_size
+
+        def tile_iter():
+            chunk = max(c.batch_size, 1)
+            for i0 in range(start_index, len(tiles), chunk):
+                idxs = list(range(i0, min(i0 + chunk, len(tiles))))
+                bboxes = [tuple(tiles[i]) for i in idxs]
+                t0 = time.perf_counter()
+                if isinstance(fetcher, XYZFetcher):
+                    imgs = fetcher.fetch_batch(bboxes, window_px=src)
+                else:
+                    imgs = fetcher.fetch_batch(bboxes)
+                self.timers.add("tile_fetching", time.perf_counter() - t0)
+                yield from zip(idxs, imgs)
+
+        return assemble_batches(tile_iter(), batch_size=step.batch,
+                                src_size=src)
+
+    def _collect(self, batch, out, step):
+        det, lon, lat = out
+        recs = detections_to_records(
+            det, batch.bounds, model_size=step.model_size,
+            class_names=step.bundle.spec.class_names)
+        kept = []
+        for r in recs:
+            gidx = int(batch.indices[r.pop("tile_index")])
+            if gidx >= 0:                  # drop padding rows
+                r["tile"] = gidx
+                kept.append(r)
+        covs = [tuple(float(v) for v in batch.bounds[i])
+                for i in range(batch.n_valid)]
+        return kept, covs
+
+    def _checkpoint(self, ckpt, results, processed, total, fingerprint):
+        t0 = time.perf_counter()
+        results.remove_duplicates()
+        ckpt.save(CheckpointState(
+            processed_count=processed, total_tiles=total,
+            detections=results.detections,
+            grid_fingerprint=fingerprint))
+        self.timers.add("checkpointing", time.perf_counter() - t0)
+        self.events.emit("checkpoint", processed=processed,
+                         detections=len(results.detections))
+
+    def _on_interrupt(self, signum, frame):
+        self._interrupted = True

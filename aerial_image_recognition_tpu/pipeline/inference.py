@@ -28,7 +28,8 @@ class DetectStep:
     bundle: ModelBundle
     fn: Callable  # (params, images_u8 [B,S,S,3], bounds [B,4]) -> (Detections, lon, lat)
     batch: int
-    input_size: int
+    input_size: int          # source pixels per tile edge entering the step
+    model_size: int = 640    # network input edge (pixel frame of det.boxes)
 
     def __call__(self, images_u8, bounds):
         return self.fn(self.bundle.params, images_u8, bounds)
@@ -73,15 +74,18 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                       bundle: Optional[ModelBundle] = None,
                       src_size: Optional[int] = None,
                       crop_size: Optional[int] = None,
+                      model_size: Optional[int] = None,
                       donate: bool = True) -> DetectStep:
     bundle = bundle or create_model(
         cfg.model_path,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,
-                            crop_size=crop_size)
+                            crop_size=crop_size, model_size=model_size)
     fn = jax.jit(detect, donate_argnums=(1,) if donate else ())
-    return DetectStep(bundle=bundle, fn=fn, batch=batch or cfg.device_batch,
+    step = DetectStep(bundle=bundle, fn=fn, batch=batch or cfg.device_batch,
                       input_size=src_size or bundle.spec.input_size)
+    step.model_size = model_size or bundle.spec.input_size
+    return step
 
 
 def make_segment_fn(bundle: ModelBundle, cfg: DetectorConfig):

@@ -1,0 +1,136 @@
+"""Observability: phase timers, JSONL event log, device monitor.
+
+Replaces the reference's ad-hoc timing dicts and GPUMonitor daemon
+(SURVEY.md §5: simple_detector.py:750-757 phase breakdown;
+_script/monitors.py:9-81 GPUtil/psutil thread with in-place console line)
+with structured equivalents: a PhaseTimer producing the same phase-breakdown
+report, a JSONL event stream, and a DeviceMonitor sampling TPU HBM usage via
+jax device memory_stats plus process RSS.
+"""
+
+import json
+import os
+import threading
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import Dict, Optional
+
+
+class PhaseTimer:
+    """Accumulating named-phase wall-clock timers."""
+
+    def __init__(self):
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def add(self, name: str, seconds: float):
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
+    def report(self) -> Dict[str, float]:
+        return {k: round(v, 3) for k, v in self.totals.items()}
+
+    def format_report(self) -> str:
+        # same shape as the reference's exit printout
+        # (simple_detector.py:921-929)
+        total = sum(self.totals.values()) or 1.0
+        lines = ["Phase breakdown:"]
+        for k, v in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {k:<22s} {v:8.2f}s ({100 * v / total:5.1f}%)")
+        return "\n".join(lines)
+
+
+class EventLog:
+    """Append-only JSONL event stream (thread-safe)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self._lock = threading.Lock()
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def emit(self, kind: str, **fields):
+        if not self.path:
+            return
+        rec = {"ts": time.time(), "kind": kind, **fields}
+        line = json.dumps(rec, default=str)
+        with self._lock:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+
+
+class DeviceMonitor:
+    """Daemon thread: TPU HBM + host RSS every ``interval`` seconds.
+
+    Parity slot for the reference GPUMonitor (_script/monitors.py): same
+    start()/stop() lifecycle, console line + log file, but sourcing device
+    stats from the JAX runtime instead of GPUtil/nvml.
+    """
+
+    def __init__(self, interval: float = 30.0,
+                 log_path: Optional[str] = None,
+                 event_log: Optional[EventLog] = None,
+                 print_line: bool = True):
+        self.interval = interval
+        self.log_path = log_path
+        self.event_log = event_log
+        self.print_line = print_line
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def sample(self) -> Dict:
+        out: Dict = {"ts": time.time()}
+        try:
+            import jax
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            out["device"] = str(dev)
+            out["hbm_used_mb"] = round(stats.get("bytes_in_use", 0) / 1e6, 1)
+            out["hbm_limit_mb"] = round(stats.get("bytes_limit", 0) / 1e6, 1)
+        except Exception as e:   # device stats are best-effort
+            out["device_error"] = str(e)[:80]
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        out["host_rss_mb"] = round(
+                            int(line.split()[1]) / 1024.0, 1)
+                        break
+        except OSError:
+            pass
+        return out
+
+    def _run(self):
+        while not self._stop.wait(self.interval):
+            s = self.sample()
+            if self.print_line:
+                line = (f"[monitor] hbm {s.get('hbm_used_mb', '?')}/"
+                        f"{s.get('hbm_limit_mb', '?')} MB | "
+                        f"rss {s.get('host_rss_mb', '?')} MB")
+                print("\r" + line, end="", flush=True)
+            if self.log_path:
+                with open(self.log_path, "a") as f:
+                    f.write(json.dumps(s) + "\n")
+            if self.event_log:
+                self.event_log.emit("monitor", **s)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="device-monitor")
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2.0)

@@ -15,6 +15,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The image's sitecustomize imports jax before this conftest runs, so the
+# env vars above may be too late — force the config at runtime too (backends
+# are still uninitialized at collection time).
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: CPU conv graphs take minutes to compile the
 # first time; cache them across test runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

@@ -1,0 +1,92 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.parallel.mesh import (
+    make_mesh, shard_batch, pad_to_multiple,
+)
+from aerial_image_recognition_tpu.parallel.stripes import (
+    split_aoi_stripes, assign_to_stripes, halo_dedup_host,
+)
+from aerial_image_recognition_tpu.post.dedup import dedup_host
+
+
+BOUNDS = (20.98, 52.19, 21.02, 52.21)
+
+
+def test_mesh_has_8_cpu_devices():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_shard_batch_places_on_all_devices():
+    mesh = make_mesh()
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    d = shard_batch(mesh, x)
+    assert len(d.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(d), x)
+
+
+def test_pad_to_multiple():
+    x = np.ones((13, 2))
+    p, n = pad_to_multiple(x, 8)
+    assert p.shape == (16, 2) and n == 3
+    assert p[13:].sum() == 0
+
+
+def test_split_aoi_stripes_cover_and_halo():
+    stripes, p, (lo, hi) = split_aoi_stripes(BOUNDS, 4, halo_m=32.0)
+    assert stripes.shape == (4, 4)
+    # stripes cover the AOI: first west ≈ AOI west, last east ≈ AOI east
+    assert stripes[0][0] == pytest.approx(BOUNDS[0], abs=1e-9)
+    assert stripes[-1][2] == pytest.approx(BOUNDS[2], abs=1e-9)
+    # interior borders overlap (halo): stripe i east > stripe i+1 west
+    for i in range(3):
+        assert stripes[i][2] > stripes[i + 1][0]
+
+
+def test_assign_to_stripes_boundaries():
+    stripes, p, edges = split_aoi_stripes(BOUNDS, 4, halo_m=0.0)
+    lo = np.asarray(edges[0])
+    x = np.array([lo[0] + 1.0, lo[1] + 1.0, lo[3] + 1e6])
+    owner = assign_to_stripes(x, edges, 4)
+    assert list(owner) == [0, 1, 3]
+
+
+def test_halo_dedup_matches_host_dedup():
+    """Sharded halo-exchange dedup must agree with the exact host dedup,
+    including clusters that straddle stripe borders."""
+    mesh = make_mesh()
+    rng = np.random.default_rng(5)
+    n = 600
+    lon = BOUNDS[0] + rng.random(n) * (BOUNDS[2] - BOUNDS[0])
+    lat = BOUNDS[1] + rng.random(n) * (BOUNDS[3] - BOUNDS[1])
+    # add tight clusters right on stripe borders
+    stripes, p, (lo, hi) = split_aoi_stripes(BOUNDS, 8, halo_m=0.0)
+    from aerial_image_recognition_tpu.geo.tmerc import tm_inverse
+    extra_lon, extra_lat = [], []
+    for edge_x in lo[1:]:
+        y_mid = 0.5 * 2
+        from aerial_image_recognition_tpu.geo.tmerc import tm_forward
+        uy = tm_forward(21.0, 52.2, p)[1]
+        # spacings avoid exact-radius pair distances (f32 vs f64 razor edge)
+        for dx in (-1.35, -0.45, 0.45, 1.35):
+            elon, elat = tm_inverse(edge_x + dx, uy, p)
+            extra_lon.append(float(elon))
+            extra_lat.append(float(elat))
+    lon = np.concatenate([lon, extra_lon])
+    lat = np.concatenate([lat, extra_lat])
+    conf = rng.random(len(lon)) * 0.7 + 0.3
+
+    klon, klat, kconf = halo_dedup_host(lon, lat, conf, BOUNDS, mesh,
+                                        radius_m=2.0, k_slots=256)
+
+    keep_ref = dedup_host(lon, lat, conf, radius_m=2.0)
+    ref_confs = np.sort(conf[keep_ref])
+    got_confs = np.sort(kconf)
+    # counts equal and confidences identical ⇒ same kept set
+    assert len(got_confs) == len(ref_confs)
+    np.testing.assert_allclose(got_confs, ref_confs, rtol=1e-6)
