@@ -50,13 +50,30 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
     """
     spec = bundle.spec
     model_size = model_size or spec.input_size
+    tta = bool(cfg.extra.get("tta", False)) if hasattr(cfg, "extra") else False
 
     def detect(params, images_u8, bounds):
         x = preprocess_batch(
             images_u8, out_size=model_size, crop_size=crop_size,
             method="bilinear",
             dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
-        boxes, scores = bundle.forward(params, x)
+        if tta:
+            # variation stack folded into the batch dim: one forward for
+            # B·V images, detections unioned before NMS (ops.augment).
+            from aerial_image_recognition_tpu.ops.augment import (
+                DEFAULT_VARIATIONS, expand_tta)
+            b = x.shape[0]
+            xv, wts = expand_tta(x)
+            boxes_v, scores_v = bundle.forward(params, xv)
+            v = len(DEFAULT_VARIATIONS)
+            a = boxes_v.shape[1]
+            boxes = boxes_v.reshape(v, b, a, 4).transpose(1, 0, 2, 3) \
+                .reshape(b, v * a, 4)
+            scores = (scores_v.reshape(v, b, a, -1)
+                      * wts[:, None, None, None].astype(scores_v.dtype)) \
+                .transpose(1, 0, 2, 3).reshape(b, v * a, -1)
+        else:
+            boxes, scores = bundle.forward(params, x)
         det = batched_nms(
             boxes, scores,
             num_classes=spec.num_classes,
