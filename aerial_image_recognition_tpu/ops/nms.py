@@ -82,21 +82,54 @@ def _nms_single(boxes, scores, num_classes, conf_threshold, iou_threshold,
 
 
 @partial(jax.jit, static_argnames=("num_classes", "max_det", "pre_topk",
-                                   "class_aware"))
+                                   "class_aware", "use_pallas",
+                                   "iou_threshold"))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 num_classes: int,
                 conf_threshold: float = 0.3,
                 iou_threshold: float = 0.45,
                 max_det: int = 128,
                 pre_topk: int = 512,
-                class_aware: bool = True) -> Detections:
+                class_aware: bool = True,
+                use_pallas: bool = None) -> Detections:
     """boxes [B,A,4] cxcywh, scores [B,A,nc] → Detections with D=max_det.
 
-    conf/iou thresholds are traced scalars → no recompile on config change.
+    On TPU the suppression tail runs as the fused Pallas kernel
+    (ops.pallas_kernels.nms_suppress_pallas); elsewhere as the lax.scan
+    formulation. Both are exact greedy NMS with identical tie behavior.
     """
+    from aerial_image_recognition_tpu.ops.pallas_kernels import (
+        nms_suppress_pallas, pallas_available)
+
+    if use_pallas is None:
+        use_pallas = pallas_available()
     conf = jnp.asarray(conf_threshold, dtype=scores.dtype)
-    iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
-    return jax.vmap(
-        lambda b, s: _nms_single(b, s, num_classes, conf, iou_t,
-                                 max_det, pre_topk, class_aware)
-    )(boxes, scores)
+    if not use_pallas:
+        iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
+        return jax.vmap(
+            lambda b, s: _nms_single(b, s, num_classes, conf, iou_t,
+                                     max_det, pre_topk, class_aware)
+        )(boxes, scores)
+
+    b, a, _ = boxes.shape
+    k = min(pre_topk, a)
+    best = jnp.max(scores, axis=-1)                       # [B, A]
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    top_scores, idx = jax.lax.top_k(best, k)              # [B, K]
+    top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    top_cls = jnp.take_along_axis(cls, idx, axis=1)
+    masked = jnp.where(top_scores >= conf,
+                       top_scores.astype(jnp.float32), -1.0)
+    pidx, pconf, pcls = nms_suppress_pallas(
+        top_boxes.astype(jnp.float32).transpose(0, 2, 1), masked, top_cls,
+        iou_threshold=float(iou_threshold), max_det=max_det,
+        class_aware=class_aware and num_classes > 1,
+        interpret=not pallas_available())   # CPU: interpreter-mode kernel
+    valid = pconf >= conf
+    out_boxes = jnp.take_along_axis(top_boxes, pidx[..., None], axis=1)
+    return Detections(
+        boxes=jnp.where(valid[..., None], out_boxes, 0.0),
+        scores=jnp.where(valid, pconf, 0.0),
+        classes=jnp.where(valid, pcls, -1),
+        valid=valid,
+    )

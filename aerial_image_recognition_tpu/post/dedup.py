@@ -32,17 +32,24 @@ def _to_utm(lon: np.ndarray, lat: np.ndarray):
 
 
 def dedup_host(lon: np.ndarray, lat: np.ndarray, conf: np.ndarray,
-               radius_m: float) -> np.ndarray:
+               radius_m: float, use_native: bool = True) -> np.ndarray:
     """Returns a boolean keep-mask over the input order.
 
     UTM zone selected from the first detection (same rule as
-    simple_detector.py:545-549).
+    simple_detector.py:545-549). Uses the C++ fastgeo grid kernel when
+    available (city-scale path: millions of points), numpy/python otherwise.
     """
     n = len(lon)
     if n == 0 or radius_m <= 0:
         return np.ones(n, dtype=bool)
     x, y = _to_utm(np.asarray(lon, np.float64), np.asarray(lat, np.float64))
     conf = np.asarray(conf)
+
+    if use_native:
+        from aerial_image_recognition_tpu.utils.native import dedup_grid_native
+        keep = dedup_grid_native(x, y, conf.astype(np.float32), radius_m)
+        if keep is not None:
+            return keep
 
     order = np.argsort(-conf, kind="stable")   # confidence desc, stable ties
     inv_cell = 1.0 / radius_m

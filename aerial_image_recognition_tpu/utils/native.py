@@ -1,0 +1,110 @@
+"""ctypes loader for the native fastgeo library (on-demand g++ build).
+
+The .so is compiled from native/fastgeo.cpp on first use and cached next to
+the source (keyed by source mtime). Everything degrades gracefully: if no
+compiler is available the callers fall back to the pure-python/numpy paths.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "fastgeo.cpp")
+_SO = os.path.join(_NATIVE_DIR, "libfastgeo.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           _SRC, "-o", _SO + ".tmp"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The fastgeo CDLL, or None if unavailable."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not os.path.exists(_SRC):
+            _failed = True
+            return None
+        stale = (not os.path.exists(_SO)
+                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        if stale and not _build():
+            _failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _failed = True
+            return None
+        lib.dedup_grid.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.dedup_grid.restype = None
+        lib.points_in_ring.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+        lib.points_in_ring.restype = None
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def dedup_grid_native(x: np.ndarray, y: np.ndarray, conf: np.ndarray,
+                      radius: float) -> Optional[np.ndarray]:
+    """Native confidence-greedy dedup; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    conf = np.ascontiguousarray(conf, dtype=np.float32)
+    keep = np.zeros(len(x), dtype=np.uint8)
+    lib.dedup_grid(_ptr(x, ctypes.c_double), _ptr(y, ctypes.c_double),
+                   _ptr(conf, ctypes.c_float), len(x), float(radius),
+                   _ptr(keep, ctypes.c_uint8))
+    return keep.astype(bool)
+
+
+def points_in_rings_native(points: np.ndarray, rings) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float64)
+    px = np.ascontiguousarray(points[:, 0])
+    py = np.ascontiguousarray(points[:, 1])
+    inside = np.zeros(len(points), dtype=np.uint8)
+    for ring in rings:
+        ring = np.ascontiguousarray(np.asarray(ring, dtype=np.float64))
+        rx = np.ascontiguousarray(ring[:, 0])
+        ry = np.ascontiguousarray(ring[:, 1])
+        lib.points_in_ring(_ptr(px, ctypes.c_double),
+                           _ptr(py, ctypes.c_double), len(points),
+                           _ptr(rx, ctypes.c_double),
+                           _ptr(ry, ctypes.c_double), len(ring),
+                           _ptr(inside, ctypes.c_uint8))
+    return inside.astype(bool)
