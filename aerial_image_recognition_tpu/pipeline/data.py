@@ -1,0 +1,220 @@
+"""Training data pipeline: COCO labels → padded YOLO target tensors.
+
+First-party replacement for the reference's offline training workflow
+(x_arch/01_train_tokyo.ipynb): COCO-JSON → YOLO label conversion with the
+Tokyo class remap {Car,Van,Car-Trailer}→car(0), {Pickup,Truck,Trailer,Bus}
+→truck(1) (cell 2), train/val split (cell 4), and the notebook's
+augmentation recipe (cell 14: mosaic, mixup, copy_paste) re-implemented as
+deterministic numpy host transforms feeding fixed-shape device batches.
+"""
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# class remap of the Tokyo notebook (cell 2)
+TOKYO_CLASS_REMAP = {
+    "Car": 0, "Van": 0, "Car-Trailer": 0,
+    "Pickup": 1, "Truck": 1, "Trailer": 1, "Bus": 1,
+}
+TOKYO_CLASS_NAMES = ("car", "truck")
+
+
+@dataclass
+class Sample:
+    image_path: str
+    boxes: np.ndarray        # [N, 5]: cls, cx, cy, w, h — normalized 0..1
+
+
+def coco_to_yolo(coco_path: str,
+                 class_remap: Optional[Dict[str, int]] = None
+                 ) -> List[Sample]:
+    """COCO instance JSON → samples with normalized cxcywh targets."""
+    with open(coco_path) as f:
+        coco = json.load(f)
+    cats = {c["id"]: c["name"] for c in coco.get("categories", [])}
+    images = {im["id"]: im for im in coco.get("images", [])}
+    remap = class_remap or {}
+    by_image: Dict[int, List[List[float]]] = {}
+    for ann in coco.get("annotations", []):
+        im = images.get(ann["image_id"])
+        if im is None:
+            continue
+        name = cats.get(ann["category_id"], str(ann["category_id"]))
+        if remap:
+            if name not in remap:
+                continue
+            cls = remap[name]
+        else:
+            cls = ann["category_id"]
+        x, y, w, h = ann["bbox"]           # COCO: xywh absolute, top-left
+        cx = (x + w / 2) / im["width"]
+        cy = (y + h / 2) / im["height"]
+        by_image.setdefault(ann["image_id"], []).append(
+            [cls, cx, cy, w / im["width"], h / im["height"]])
+    base = os.path.dirname(os.path.abspath(coco_path))
+    out = []
+    for img_id, im in images.items():
+        boxes = np.asarray(by_image.get(img_id, []),
+                           dtype=np.float32).reshape(-1, 5)
+        out.append(Sample(os.path.join(base, im["file_name"]), boxes))
+    return out
+
+
+def write_yolo_labels(samples: Sequence[Sample], label_dir: str) -> None:
+    """Emit ultralytics-style .txt labels (one 'cls cx cy w h' row per box)."""
+    os.makedirs(label_dir, exist_ok=True)
+    for s in samples:
+        stem = os.path.splitext(os.path.basename(s.image_path))[0]
+        with open(os.path.join(label_dir, stem + ".txt"), "w") as f:
+            for cls, cx, cy, w, h in s.boxes:
+                f.write(f"{int(cls)} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}\n")
+
+
+def train_val_split(samples: Sequence[Sample], n_train: int,
+                    seed: int = 0) -> Tuple[List[Sample], List[Sample]]:
+    """Deterministic split (the notebook used a fixed 80-image train set)."""
+    idx = np.random.default_rng(seed).permutation(len(samples))
+    train = [samples[i] for i in idx[:n_train]]
+    val = [samples[i] for i in idx[n_train:]]
+    return train, val
+
+
+# --------------------------------------------------------- augmentations
+
+def mosaic4(images: Sequence[np.ndarray], boxes: Sequence[np.ndarray],
+            out_size: int, rng: np.random.Generator
+            ) -> Tuple[np.ndarray, np.ndarray]:
+    """4-image mosaic (ultralytics-style): random center, each quadrant
+    filled from one image, boxes rescaled/clipped. boxes are [N,5] with
+    normalized coords; output boxes are in output *pixels*."""
+    s = out_size
+    yc = int(rng.uniform(s * 0.35, s * 0.65))
+    xc = int(rng.uniform(s * 0.35, s * 0.65))
+    canvas = np.full((s, s, 3), 114, dtype=np.uint8)
+    out_boxes = []
+    quads = [(0, 0, xc, yc), (xc, 0, s, yc), (0, yc, xc, s), (xc, yc, s, s)]
+    for (x1, y1, x2, y2), img, bxs in zip(quads, images, boxes):
+        qh, qw = y2 - y1, x2 - x1
+        ih, iw = img.shape[:2]
+        # place the image's bottom-right region into the quadrant (simple,
+        # deterministic variant of the random-crop placement)
+        sy, sx = max(0, ih - qh), max(0, iw - qw)
+        patch = img[sy:sy + qh, sx:sx + qw]
+        canvas[y1:y1 + patch.shape[0], x1:x1 + patch.shape[1]] = patch
+        if len(bxs):
+            b = bxs.copy()
+            # normalized → source pixels → shifted into canvas
+            b[:, 1] = b[:, 1] * iw - sx + x1
+            b[:, 2] = b[:, 2] * ih - sy + y1
+            b[:, 3] = b[:, 3] * iw
+            b[:, 4] = b[:, 4] * ih
+            # clip boxes to the canvas, drop degenerate leftovers
+            cx1 = np.clip(b[:, 1] - b[:, 3] / 2, 0, s)
+            cy1 = np.clip(b[:, 2] - b[:, 4] / 2, 0, s)
+            cx2 = np.clip(b[:, 1] + b[:, 3] / 2, 0, s)
+            cy2 = np.clip(b[:, 2] + b[:, 4] / 2, 0, s)
+            keep = (cx2 - cx1 > 2) & (cy2 - cy1 > 2)
+            b = np.stack([b[:, 0], (cx1 + cx2) / 2, (cy1 + cy2) / 2,
+                          cx2 - cx1, cy2 - cy1], axis=1)[keep]
+            out_boxes.append(b)
+    merged = (np.concatenate(out_boxes, 0) if out_boxes
+              else np.zeros((0, 5), np.float32))
+    return canvas, merged.astype(np.float32)
+
+
+def mixup(img_a, boxes_a, img_b, boxes_b, rng: np.random.Generator,
+          alpha: float = 32.0):
+    """Beta-blended mixup; both box sets kept (ultralytics semantics)."""
+    lam = float(rng.beta(alpha, alpha))
+    img = (img_a.astype(np.float32) * lam
+           + img_b.astype(np.float32) * (1 - lam)).astype(np.uint8)
+    return img, np.concatenate([boxes_a, boxes_b], axis=0)
+
+
+def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
+               gain: float = 0.2) -> np.ndarray:
+    """Cheap brightness/saturation jitter without cv2."""
+    f = 1.0 + rng.uniform(-gain, gain)
+    mean = img.mean(axis=(0, 1), keepdims=True)
+    sat = 1.0 + rng.uniform(-gain, gain)
+    out = (img.astype(np.float32) - mean) * sat + mean * f
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+@dataclass
+class LoaderConfig:
+    image_size: int = 640
+    batch_size: int = 8
+    max_targets: int = 128
+    mosaic: float = 1.0          # probability (notebook: mosaic=1.0)
+    mixup: float = 0.5           # probability (notebook: mixup=0.5)
+    hsv: float = 0.5
+    seed: int = 0
+
+
+class DetectionLoader:
+    """Deterministic host-side loader → (images [B,S,S,3] u8,
+    targets [B,T,5] with cls=−1 padding, in input pixels)."""
+
+    def __init__(self, samples: Sequence[Sample], cfg: LoaderConfig,
+                 decode_fn=None, train: bool = True):
+        self.samples = list(samples)
+        self.cfg = cfg
+        self.train = train
+        self._decode = decode_fn or self._decode_default
+
+    @staticmethod
+    def _decode_default(path: str) -> np.ndarray:
+        from PIL import Image
+        return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+
+    def _load_resized(self, sample: Sample, size: int):
+        from PIL import Image
+        img = self._decode(sample.image_path)
+        if img.shape[0] != size or img.shape[1] != size:
+            img = np.asarray(
+                Image.fromarray(img).resize((size, size), Image.BILINEAR),
+                dtype=np.uint8)
+        return img, sample.boxes
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed + epoch_idx)
+        order = rng.permutation(len(self.samples))
+        s = cfg.image_size
+        batch_imgs, batch_tgts = [], []
+        for i in order:
+            if self.train and rng.random() < cfg.mosaic:
+                picks = [self.samples[j] for j in
+                         rng.integers(0, len(self.samples), 3)]
+                imgs, bxs = zip(*[self._load_resized(x, s)
+                                  for x in [self.samples[i]] + list(picks)])
+                img, boxes = mosaic4(imgs, bxs, s, rng)
+            else:
+                img, nb = self._load_resized(self.samples[i], s)
+                boxes = nb.copy()
+                if len(boxes):
+                    boxes[:, 1:] *= s       # normalized → pixels
+            if self.train and rng.random() < cfg.mixup and len(self.samples) > 1:
+                j = int(rng.integers(0, len(self.samples)))
+                img2, nb2 = self._load_resized(self.samples[j], s)
+                b2 = nb2.copy()
+                if len(b2):
+                    b2[:, 1:] *= s
+                img, boxes = mixup(img, boxes, img2, b2, rng)
+            if self.train and rng.random() < cfg.hsv:
+                img = hsv_jitter(img, rng)
+
+            tgt = np.full((cfg.max_targets, 5), -1.0, dtype=np.float32)
+            n = min(len(boxes), cfg.max_targets)
+            tgt[:n] = boxes[:n]
+            batch_imgs.append(img)
+            batch_tgts.append(tgt)
+            if len(batch_imgs) == cfg.batch_size:
+                yield (np.stack(batch_imgs), np.stack(batch_tgts))
+                batch_imgs, batch_tgts = [], []
+        # drop ragged tail (static shapes)

@@ -90,3 +90,77 @@ def init_train_state(bundle: ModelBundle, tx) -> Dict:
     batch_stats = variables.get("batch_stats", {})
     return {"params": params, "batch_stats": batch_stats,
             "opt_state": tx.init(params), "step": 0}
+
+
+def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
+        lr: float = 1e-4, mesh: Optional[Mesh] = None,
+        eval_loader=None, eval_every: int = 1,
+        conf_threshold: float = 0.25, log_fn=print) -> Dict:
+    """Train a detector: notebook-workflow parity
+    (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
+    loader config) with in-framework mAP validation (cell 22).
+
+    Returns the final state dict ({'params','batch_stats',...}); pass
+    {'params': ..., 'batch_stats': ...} to inference functions or
+    models.registry.save_params to persist.
+    """
+    import numpy as np
+
+    tx = make_optimizer(lr=lr)
+    step_fn = make_train_step(bundle, tx, mesh=mesh)
+    state = init_train_state(bundle, tx)
+    if mesh is not None:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+    history = []
+    for epoch in range(epochs):
+        losses = []
+        for images, targets in loader.epoch(epoch):
+            if mesh is not None:
+                sh = NamedSharding(mesh, P("data"))
+                images = jax.device_put(images, sh)
+                targets = jax.device_put(targets, sh)
+            state, metrics = step_fn(state, images, targets)
+            losses.append(float(metrics["loss"]))
+        row = {"epoch": epoch, "loss": float(jnp.mean(jnp.asarray(losses)))
+               if losses else float("nan")}
+        if eval_loader is not None and (epoch + 1) % eval_every == 0:
+            row.update(evaluate(bundle, state, eval_loader,
+                                conf_threshold=conf_threshold))
+        history.append(row)
+        log_fn(f"epoch {epoch}: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in row.items() if k != "epoch"))
+    state["history"] = history
+    return state
+
+
+def evaluate(bundle: ModelBundle, state: Dict, loader,
+             conf_threshold: float = 0.25) -> Dict[str, float]:
+    """mAP over a validation loader (notebook cell 22 parity)."""
+    import numpy as np
+    from aerial_image_recognition_tpu.ops.metrics import evaluate_detections
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+
+    variables = {"params": state["params"],
+                 "batch_stats": state["batch_stats"]}
+    nc = bundle.spec.num_classes
+
+    @jax.jit
+    def infer(images_u8):
+        x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
+                             dtype=jnp.bfloat16)
+        boxes, scores = bundle.forward(variables, x)
+        return batched_nms(boxes, scores, num_classes=nc,
+                           conf_threshold=conf_threshold, max_det=128)
+
+    preds, gts = [], []
+    for images, targets in loader.epoch(0):
+        det = infer(images)
+        for bi in range(images.shape[0]):
+            v = np.asarray(det.valid[bi])
+            preds.append({"boxes": np.asarray(det.boxes[bi])[v],
+                          "classes": np.asarray(det.classes[bi])[v],
+                          "scores": np.asarray(det.scores[bi])[v]})
+            t = targets[bi]
+            tv = t[:, 0] >= 0
+            gts.append({"boxes": t[tv][:, 1:], "classes": t[tv][:, 0]})
+    return evaluate_detections(preds, gts, nc)

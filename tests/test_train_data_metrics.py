@@ -1,0 +1,143 @@
+"""Training pipeline: COCO conversion, augmentations, metrics, fit loop."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.pipeline.data import (
+    DetectionLoader, LoaderConfig, Sample, TOKYO_CLASS_REMAP,
+    coco_to_yolo, mosaic4, mixup, train_val_split, write_yolo_labels,
+)
+from aerial_image_recognition_tpu.ops.metrics import (
+    average_precision, evaluate_detections, iou_xywh,
+)
+
+
+def _fake_coco(tmp_path, n_images=6):
+    images = [{"id": i, "file_name": f"im{i}.png", "width": 100,
+               "height": 80} for i in range(n_images)]
+    cats = [{"id": 1, "name": "Car"}, {"id": 2, "name": "Truck"},
+            {"id": 3, "name": "Van"}, {"id": 4, "name": "Ignored"}]
+    anns = []
+    for i in range(n_images):
+        anns.append({"id": i * 10, "image_id": i, "category_id": 1,
+                     "bbox": [10, 10, 20, 10]})
+        anns.append({"id": i * 10 + 1, "image_id": i, "category_id": 3,
+                     "bbox": [50, 40, 10, 20]})
+        anns.append({"id": i * 10 + 2, "image_id": i, "category_id": 4,
+                     "bbox": [0, 0, 5, 5]})
+    p = str(tmp_path / "coco.json")
+    with open(p, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": cats}, f)
+    return p
+
+
+def test_coco_to_yolo_remap(tmp_path):
+    samples = coco_to_yolo(_fake_coco(tmp_path), TOKYO_CLASS_REMAP)
+    assert len(samples) == 6
+    b = samples[0].boxes
+    # 'Ignored' category dropped; Car→0, Van→0
+    assert b.shape == (2, 5)
+    assert set(b[:, 0]) == {0.0}
+    # normalized cxcywh: first box (10,10,20,10) on 100×80
+    np.testing.assert_allclose(b[0], [0, 0.2, 0.1875, 0.2, 0.125], atol=1e-6)
+
+
+def test_write_yolo_labels(tmp_path):
+    samples = coco_to_yolo(_fake_coco(tmp_path), TOKYO_CLASS_REMAP)
+    write_yolo_labels(samples, str(tmp_path / "labels"))
+    lines = open(tmp_path / "labels" / "im0.txt").read().strip().split("\n")
+    assert len(lines) == 2
+    assert lines[0].startswith("0 ")
+
+
+def test_split_deterministic(tmp_path):
+    samples = coco_to_yolo(_fake_coco(tmp_path), TOKYO_CLASS_REMAP)
+    a1, b1 = train_val_split(samples, 4, seed=1)
+    a2, b2 = train_val_split(samples, 4, seed=1)
+    assert [s.image_path for s in a1] == [s.image_path for s in a2]
+    assert len(a1) == 4 and len(b1) == 2
+
+
+def test_mosaic_boxes_inside_canvas(rng):
+    imgs = [np.full((64, 64, 3), c, np.uint8) for c in (50, 100, 150, 200)]
+    boxes = [np.array([[0, 0.5, 0.5, 0.4, 0.4]], np.float32)] * 4
+    canvas, out = mosaic4(imgs, boxes, 128, rng)
+    assert canvas.shape == (128, 128, 3)
+    if len(out):
+        x1 = out[:, 1] - out[:, 3] / 2
+        y1 = out[:, 2] - out[:, 4] / 2
+        x2 = out[:, 1] + out[:, 3] / 2
+        y2 = out[:, 2] + out[:, 4] / 2
+        assert (x1 >= -1e-3).all() and (y1 >= -1e-3).all()
+        assert (x2 <= 128 + 1e-3).all() and (y2 <= 128 + 1e-3).all()
+
+
+def test_loader_shapes_and_padding(tmp_path, rng):
+    # synthesize images on disk
+    from PIL import Image
+    samples = []
+    for i in range(8):
+        p = str(tmp_path / f"t{i}.png")
+        Image.fromarray(rng.integers(0, 255, (48, 48, 3),
+                                     dtype=np.uint8)).save(p)
+        samples.append(Sample(p, np.array([[0, 0.5, 0.5, 0.3, 0.3]],
+                                          np.float32)))
+    cfg = LoaderConfig(image_size=64, batch_size=4, max_targets=16, seed=0)
+    loader = DetectionLoader(samples, cfg, train=True)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    imgs, tgts = batches[0]
+    assert imgs.shape == (4, 64, 64, 3) and imgs.dtype == np.uint8
+    assert tgts.shape == (4, 16, 5)
+    assert (tgts[:, :, 0] >= -1).all()
+    # determinism
+    batches2 = list(DetectionLoader(samples, cfg, train=True).epoch(0))
+    np.testing.assert_array_equal(batches[0][0], batches2[0][0])
+
+
+# --------------------------------------------------------------- metrics
+
+def test_iou_and_ap_basics():
+    a = np.array([[10.0, 10, 10, 10]])
+    assert iou_xywh(a, a)[0, 0] == pytest.approx(1.0)
+    assert average_precision(np.array([1.0]), np.array([1.0])) == pytest.approx(1.0, abs=0.01)
+
+
+def test_map_perfect_and_partial():
+    gt = [{"boxes": np.array([[10.0, 10, 10, 10], [50.0, 50, 10, 10]]),
+           "classes": np.array([0, 0])}]
+    perfect = [{"boxes": gt[0]["boxes"], "classes": np.array([0, 0]),
+                "scores": np.array([0.9, 0.8])}]
+    m = evaluate_detections(perfect, gt, num_classes=1)
+    assert m["mAP50"] == pytest.approx(1.0, abs=0.02)
+    partial = [{"boxes": gt[0]["boxes"][:1], "classes": np.array([0]),
+                "scores": np.array([0.9])}]
+    m2 = evaluate_detections(partial, gt, num_classes=1)
+    assert 0.4 < m2["mAP50"] < 0.6
+
+
+def test_fit_overfits_tiny_batch(tmp_path, rng):
+    """3 steps of the real train loop on one tiny batch: loss must drop."""
+    from PIL import Image
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.train import (
+        make_optimizer, make_train_step, init_train_state)
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(bundle, tx)
+    state = init_train_state(bundle, tx)
+    images = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    targets = np.full((2, 8, 5), -1.0, np.float32)
+    targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, jnp.asarray(images), jnp.asarray(targets))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
