@@ -1,0 +1,121 @@
+"""GeoTIFF IO + raster sliding-window workflows."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.gio.geotiff import (
+    GeoTiff, read_geotiff, write_geotiff,
+)
+from aerial_image_recognition_tpu.pipeline.rasters import (
+    detect_geotiff, iter_windows, mask_to_polygons, segment_geotiff,
+)
+from aerial_image_recognition_tpu.gio.geojson import read_geojson
+
+
+TRANSFORM = (500000.0, 0.1, 0.0, 5788000.0, 0.0, -0.1)   # 10 cm/px UTM
+
+
+def test_geotiff_roundtrip(tmp_path, rng):
+    data = rng.integers(0, 255, (120, 160, 3), dtype=np.uint8)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, data, TRANSFORM, epsg=32634)
+    gt = read_geotiff(p)
+    np.testing.assert_array_equal(gt.data, data)
+    assert gt.transform == pytest.approx(TRANSFORM)
+    assert gt.epsg == 32634
+    x, y = gt.pixel_to_geo(10, 20)
+    assert x == pytest.approx(500001.0)
+    assert y == pytest.approx(5787998.0)
+
+
+def test_geotiff_single_band(tmp_path):
+    data = np.arange(64 * 64, dtype=np.uint8).reshape(64, 64)
+    p = str(tmp_path / "m.tif")
+    write_geotiff(p, data, TRANSFORM, epsg=4326)
+    gt = read_geotiff(p)
+    np.testing.assert_array_equal(gt.data[:, :, 0], data)
+    assert gt.epsg == 4326
+
+
+def test_iter_windows_covers():
+    corners = list(iter_windows(100, 100, 64, 32))
+    assert (0, 0) in corners
+    # edge-clamped windows reach the far boundary
+    assert any(r + 64 == 100 for r, _ in corners)
+    assert any(c + 64 == 100 for _, c in corners)
+
+
+def test_mask_to_polygons_square_and_hole():
+    mask = np.zeros((20, 20), np.uint8)
+    mask[4:12, 5:15] = 1
+    mask[7:9, 8:11] = 0      # hole
+    rings = mask_to_polygons(mask)
+    assert len(rings) == 2
+    areas = []
+    for ring in rings:
+        x, y = ring[:, 0], ring[:, 1]
+        areas.append(0.5 * abs(np.sum(x * np.roll(y, -1)
+                                      - np.roll(x, -1) * y)))
+    assert sorted(areas) == [6.0, 80.0]   # hole 3×2, outer 10×8
+
+
+def test_detect_geotiff_runs(tmp_path, rng):
+    """Mechanics test with a tiny step: window math + georef + output."""
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        DetectStep, make_detect_fn)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    data = rng.integers(0, 255, (200, 200, 3), dtype=np.uint8)
+    p = str(tmp_path / "scene.tif")
+    write_geotiff(p, data, TRANSFORM, epsg=32634)
+
+    cfg = DetectorConfig(confidence_threshold=0.3)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    fn = jax.jit(make_detect_fn(bundle, cfg, model_size=64))
+    step = DetectStep(bundle=bundle, fn=fn, batch=4, input_size=96,
+                      model_size=64)
+    out_path = str(tmp_path / "dets.geojson")
+    recs = detect_geotiff(p, window=96, stride=96, detect_step=step,
+                          output_geojson=out_path, dedup_m=2.0)
+    assert os.path.exists(out_path)
+    doc = read_geojson(out_path)
+    assert doc["metadata"]["epsg"] == 32634
+    for r in recs:   # detections land inside the raster extent
+        assert 500000.0 <= r["x"] <= 500020.0
+        assert 5787980.0 <= r["y"] <= 5788000.0
+
+
+def test_segment_geotiff_runs(tmp_path, rng):
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import make_segment_fn
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    from aerial_image_recognition_tpu.models.xunet import XUnet
+
+    data = rng.integers(0, 255, (100, 130, 3), dtype=np.uint8)
+    p = str(tmp_path / "scene.tif")
+    write_geotiff(p, data, TRANSFORM, epsg=32634)
+
+    # tiny xunet at 64px for CPU speed
+    module = XUnet(out_channels=1, base=4, dtype=jnp.float32)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def seg_fn(prms, imgs):
+        x = imgs.astype(jnp.float32) / 255.0
+        return jax.nn.sigmoid(module.apply(prms, x, train=False))
+
+    mask_path = str(tmp_path / "mask.tif")
+    poly_path = str(tmp_path / "polys.geojson")
+    mask = segment_geotiff(p, window=64, batch=4,
+                           segment_fn=jax.jit(seg_fn), params=params,
+                           output_mask=mask_path,
+                           output_polygons=poly_path)
+    assert mask.shape == (100, 130)
+    gt = read_geotiff(mask_path)
+    assert gt.data.shape[:2] == (100, 130)
+    assert os.path.exists(poly_path)
