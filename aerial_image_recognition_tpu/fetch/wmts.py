@@ -104,9 +104,15 @@ class WMTSFetcher:
         self.image_format = image_format
         self.style = style
         self.http = TileHTTP(timeout=timeout, retries=retries)
+        # separate pools: neighborhood tasks wait on tile GETs (sharing one
+        # pool would self-deadlock once outer tasks occupy every worker)
         self._pool = cf.ThreadPoolExecutor(max_workers=num_workers,
-                                           thread_name_prefix="wmts")
+                                           thread_name_prefix="wmts-tile")
+        self._img_pool = cf.ThreadPoolExecutor(
+            max_workers=max(2, num_workers // 4),
+            thread_name_prefix="wmts-img")
         self._matrices: Optional[Dict[str, TileMatrix]] = None
+        self.default_radius = 1
 
     def matrices(self) -> Dict[str, TileMatrix]:
         if self._matrices is None:
@@ -174,6 +180,33 @@ class WMTSFetcher:
                          meta={"matrix": matrix_id, "tiles_ok": ok,
                                "crs": self.crs})
 
+    def finest_matrix(self) -> str:
+        return self.available_zooms()[0][0]
+
+    def window_px(self, radius: Optional[int] = None) -> int:
+        m = next(iter(self.matrices().values()))
+        return (2 * (radius or self.default_radius) + 1) * m.tile_width
+
+    def fetch_batch(self, bboxes: Sequence, progress=None,
+                    matrix_id: Optional[str] = None,
+                    radius: Optional[int] = None) -> List[Optional[TileImage]]:
+        """WGS84 bboxes → neighborhood mosaics centered on each bbox
+        (fetch-plane API parity with the XYZ/WMS fetchers)."""
+        mid = matrix_id or self.finest_matrix()
+        rad = radius or self.default_radius
+
+        def one(bbox):
+            lon_c = (bbox[0] + bbox[2]) / 2
+            lat_c = (bbox[1] + bbox[3]) / 2
+            out = self.fetch_neighborhood(lon_c, lat_c, mid, radius=rad)
+            if progress is not None:
+                progress.update(1)
+            return out
+
+        futures = [self._img_pool.submit(one, b) for b in bboxes]
+        return [f.result() for f in futures]
+
     def close(self):
+        self._img_pool.shutdown(wait=False, cancel_futures=True)
         self._pool.shutdown(wait=False, cancel_futures=True)
         self.http.close()

@@ -82,6 +82,15 @@ class CarDetector:
         c = self.config
         if self._fetcher is not None:
             return self._fetcher
+        if c.wmts_url:
+            from aerial_image_recognition_tpu.fetch.wmts import WMTSFetcher
+            return WMTSFetcher(c.wmts_url, c.wmts_layer or "",
+                               matrix_set=c.extra.get("wmts_matrix_set",
+                                                      "EPSG:2180"),
+                               crs=int(c.extra.get("wmts_crs", 2180)),
+                               num_workers=c.num_workers,
+                               timeout=c.fetch_timeout,
+                               retries=c.fetch_retries)
         if c.use_xyz:
             if not c.xyz_url:
                 raise ValueError("use_xyz=True requires xyz_url")
@@ -213,6 +222,8 @@ class CarDetector:
                                      self.config.tile_size_meters)
         if isinstance(fetcher, WMSFetcher):
             return fetcher.size[0]
+        if hasattr(fetcher, "window_px"):     # WMTS and duck-typed fetchers
+            return fetcher.window_px()
         return self.config.model_input_size[0]
 
     def _tile_stream(self, fetcher, tiles, start_index, step):
