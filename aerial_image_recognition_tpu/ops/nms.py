@@ -45,17 +45,10 @@ def iou_matrix(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
 
 
-def _nms_single(boxes, scores, num_classes, conf_threshold, iou_threshold,
-                max_det, pre_topk, class_aware):
-    """One image: boxes [A,4], scores [A,nc] → fixed max_det slots."""
-    best = jnp.max(scores, axis=-1)
-    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-
-    k = min(pre_topk, boxes.shape[0])
-    top_scores, idx = jax.lax.top_k(best, k)
-    top_boxes = boxes[idx]
-    top_cls = cls[idx]
-
+def _nms_single(top_boxes, top_scores, top_cls, num_classes, conf_threshold,
+                iou_threshold, max_det, class_aware):
+    """One image, preselected candidates: boxes [K,4], scores [K],
+    classes [K] → fixed max_det slots."""
     iou = iou_matrix(top_boxes, top_boxes)
     if class_aware and num_classes > 1:
         same = top_cls[:, None] == top_cls[None, :]
@@ -83,7 +76,7 @@ def _nms_single(boxes, scores, num_classes, conf_threshold, iou_threshold,
 
 @partial(jax.jit, static_argnames=("num_classes", "max_det", "pre_topk",
                                    "class_aware", "use_pallas",
-                                   "iou_threshold"))
+                                   "iou_threshold", "preselect"))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 num_classes: int,
                 conf_threshold: float = 0.3,
@@ -91,12 +84,16 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 max_det: int = 128,
                 pre_topk: int = 512,
                 class_aware: bool = True,
-                use_pallas: bool = None) -> Detections:
+                use_pallas: bool = None,
+                preselect: str = "exact") -> Detections:
     """boxes [B,A,4] cxcywh, scores [B,A,nc] → Detections with D=max_det.
 
-    On TPU the suppression tail runs as the fused Pallas kernel
-    (ops.pallas_kernels.nms_suppress_pallas); elsewhere as the lax.scan
-    formulation. Both are exact greedy NMS with identical tie behavior.
+    preselect: 'exact' (lax.top_k) or 'approx' (lax.approx_max_k — the
+    TPU-native partial sort; ~same results since only near-threshold
+    candidates can be missed). On TPU the suppression tail runs as the
+    fused Pallas kernel (ops.pallas_kernels.nms_suppress_pallas); elsewhere
+    as the lax.scan formulation. Both are exact greedy NMS with identical
+    tie behavior for a given preselect.
     """
     from aerial_image_recognition_tpu.ops.pallas_kernels import (
         nms_suppress_pallas, pallas_available)
@@ -104,20 +101,25 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     if use_pallas is None:
         use_pallas = pallas_available()
     conf = jnp.asarray(conf_threshold, dtype=scores.dtype)
-    if not use_pallas:
-        iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
-        return jax.vmap(
-            lambda b, s: _nms_single(b, s, num_classes, conf, iou_t,
-                                     max_det, pre_topk, class_aware)
-        )(boxes, scores)
 
     b, a, _ = boxes.shape
     k = min(pre_topk, a)
     best = jnp.max(scores, axis=-1)                       # [B, A]
     cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-    top_scores, idx = jax.lax.top_k(best, k)              # [B, K]
+    if preselect == "approx" and k < a:
+        top_scores, idx = jax.lax.approx_max_k(best, k)
+    else:
+        top_scores, idx = jax.lax.top_k(best, k)          # [B, K]
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cls, idx, axis=1)
+
+    if not use_pallas:
+        iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
+        return jax.vmap(
+            lambda tb, ts, tc: _nms_single(tb, ts, tc, num_classes, conf,
+                                           iou_t, max_det, class_aware)
+        )(top_boxes, top_scores, top_cls)
+
     masked = jnp.where(top_scores >= conf,
                        top_scores.astype(jnp.float32), -1.0)
     pidx, pconf, pcls = nms_suppress_pallas(
