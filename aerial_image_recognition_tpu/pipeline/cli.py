@@ -71,7 +71,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     pb = sub.add_parser("bench", help="throughput benchmark")
     pb.add_argument("--batch", type=int, default=128)
 
+    sub.add_parser("doctor", help="environment diagnostic "
+                   "(check_gpu.py parity)")
+
     args = parser.parse_args(argv)
+
+    if args.command == "doctor":
+        from aerial_image_recognition_tpu.runtime.doctor import main as doc
+        return doc()
 
     if args.command == "detect":
         from aerial_image_recognition_tpu.pipeline.detector import CarDetector
