@@ -69,6 +69,35 @@ class EventLog:
                 f.write(line + "\n")
 
 
+class Tracer:
+    """jax.profiler integration — the structured replacement for the
+    reference's disabled ORT profiling (_script/gpu_handler.py:57).
+
+    Usage: ``with Tracer("/tmp/trace"): run_batches()`` then inspect with
+    TensorBoard/XProf; or annotate regions with ``Tracer.annotate(name)``.
+    """
+
+    def __init__(self, log_dir: Optional[str]):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        if self.log_dir:
+            import jax
+            jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.log_dir:
+            import jax
+            jax.profiler.stop_trace()
+        return False
+
+    @staticmethod
+    def annotate(name: str):
+        import jax
+        return jax.profiler.TraceAnnotation(name)
+
+
 class DeviceMonitor:
     """Daemon thread: TPU HBM + host RSS every ``interval`` seconds.
 

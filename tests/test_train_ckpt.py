@@ -1,0 +1,47 @@
+"""Orbax train-state round trip + profiler tracer smoke test."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.models.registry import create_model
+from aerial_image_recognition_tpu.pipeline.train import (
+    init_train_state, make_optimizer, make_train_step,
+)
+from aerial_image_recognition_tpu.runtime.train_ckpt import (
+    load_train_state, save_train_state,
+)
+from aerial_image_recognition_tpu.runtime.observability import Tracer
+
+
+def test_train_state_roundtrip(tmp_path, rng):
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    tx = make_optimizer(lr=1e-3)
+    step = make_train_step(bundle, tx)
+    state = init_train_state(bundle, tx)
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    targets = np.full((2, 8, 5), -1.0, np.float32)
+    targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+    state, _ = step(state, images, jnp.asarray(targets))
+
+    path = str(tmp_path / "ckpt")
+    save_train_state(state, path)
+    fresh = init_train_state(bundle, tx)
+    restored = load_train_state(path, fresh)
+    assert int(restored["step"]) == 1
+    a = jax.tree_util.tree_leaves(state["params"])
+    b = jax.tree_util.tree_leaves(restored["params"])
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+    # training continues from the restored state
+    state2, m = step(restored, images, jnp.asarray(targets))
+    assert int(state2["step"]) == 2 and np.isfinite(float(m["loss"]))
+
+
+def test_tracer_noop_and_annotation():
+    with Tracer(None):
+        with Tracer.annotate("region"):
+            x = jnp.ones((4,)) + 1
+    assert float(x.sum()) == 8.0
