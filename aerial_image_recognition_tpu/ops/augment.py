@@ -68,9 +68,19 @@ def local_contrast(x: jnp.ndarray, clip: float = 2.0,
     return jnp.clip(out * ratio, 0.0, 1.0)
 
 
+def enhance_shadows(x: jnp.ndarray) -> jnp.ndarray:
+    """Shadow enhancement: brightness 1.8 then contrast 1.2 around the mean
+    (reference XYZHandler._enhance_shadows, _script/xyz_handler.py:177-185)."""
+    y = jnp.clip(x * 1.8, 0.0, 1.0)
+    mean = y.mean(axis=(-3, -2, -1), keepdims=True)
+    return jnp.clip((y - mean) * 1.2 + mean, 0.0, 1.0)
+
+
 def apply_variation(x: jnp.ndarray, name: str) -> jnp.ndarray:
     if name == "original":
         return x
+    if name == "shadow":
+        return enhance_shadows(x)
     kind, _, val = name.partition("_")
     v = float(val)
     if kind == "brightness":

@@ -57,6 +57,10 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             images_u8, out_size=model_size, crop_size=crop_size,
             method="bilinear",
             dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+        if cfg.extra.get("enhance_shadows"):
+            # XYZ-path shadow enhancement (xyz_handler.py:177-185), on device
+            from aerial_image_recognition_tpu.ops.augment import enhance_shadows
+            x = enhance_shadows(x)
         if tta:
             # variation stack folded into the batch dim: one forward for
             # B·V images, detections unioned before NMS (ops.augment).

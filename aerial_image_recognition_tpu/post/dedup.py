@@ -94,6 +94,14 @@ def dedup_records(records: List[dict], radius_m: float) -> List[dict]:
     return [r for r, k in zip(records, keep) if k]
 
 
+def nms_geographic(detections: List[dict],
+                   distance_threshold: float = 2.0) -> List[dict]:
+    """Standalone geographic NMS — API parity with the reference's
+    nms_geographic (car_detection_on_wms.py:49-75 / xyz_handler.py:250-273),
+    minus its hardcoded UTM 32611: the zone follows the data."""
+    return dedup_records(detections, distance_threshold)
+
+
 def dedup_device(x, y, conf, radius_m: float, max_keep: int):
     """jnp fixed-slot dedup: local-meter coords [N], conf [N] (−inf for
     invalid slots) → (idx [max_keep], keep_conf [max_keep], valid mask).
