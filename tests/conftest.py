@@ -27,6 +27,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of which
+    # other tests ran (golden fixtures depend on this)
     return np.random.default_rng(0)
