@@ -160,16 +160,28 @@ class CarDetector:
             with self.timers.phase("processing"):
                 gen = self._tile_stream(fetcher, tiles, start_index, step)
                 prefetch = ThreadedPrefetcher(gen, depth=c.prefetch_batches)
-                for batch in prefetch:
-                    out = step(batch.images, batch.bounds)
-                    recs, covs = self._collect(batch, out, step)
-                    results.add(recs, covs)
-                    processed += batch.n_valid + len(batch.failed_indices)
-                    since_ckpt += batch.n_valid + len(batch.failed_indices)
-                    if since_ckpt >= c.checkpoint_interval:
-                        self._checkpoint(ckpt, results, processed,
-                                         len(tiles), fingerprint)
-                        since_ckpt = 0
+                # one-batch pipelining: dispatch N+1 before reading back N,
+                # so H2D + TPU compute overlap with host postprocess
+                pending = None
+                it = iter(prefetch)
+                while True:
+                    batch = next(it, None)
+                    if batch is not None:
+                        out = step(batch.images, batch.bounds)  # async
+                    if pending is not None:
+                        pbatch, pout = pending
+                        recs, covs = self._collect(pbatch, pout, step)
+                        results.add(recs, covs)
+                        done = pbatch.n_valid + len(pbatch.failed_indices)
+                        processed += done
+                        since_ckpt += done
+                        if since_ckpt >= c.checkpoint_interval:
+                            self._checkpoint(ckpt, results, processed,
+                                             len(tiles), fingerprint)
+                            since_ckpt = 0
+                    if batch is None:
+                        break
+                    pending = (batch, out)
                     if self._interrupted:
                         raise KeyboardInterrupt
         except BaseException as e:        # checkpoint on ANY failure
