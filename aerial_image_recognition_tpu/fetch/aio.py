@@ -9,7 +9,7 @@ call is the same resilient fetcher hopped onto the default executor.
 
 import asyncio
 from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 from aerial_image_recognition_tpu.fetch.xyz import TileImage, XYZFetcher
 from aerial_image_recognition_tpu.fetch.wms import WMSFetcher

@@ -25,9 +25,7 @@ from PIL import Image
 
 from aerial_image_recognition_tpu.fetch.cache import TileCache
 from aerial_image_recognition_tpu.fetch.http import TileHTTP
-from aerial_image_recognition_tpu.geo.webmercator import (
-    meters_per_pixel, tile_bounds, tile_xy,
-)
+from aerial_image_recognition_tpu.geo.webmercator import meters_per_pixel, tile_xy
 
 
 @dataclass

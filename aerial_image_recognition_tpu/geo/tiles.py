@@ -6,7 +6,7 @@ reference relies on, _script/detector.py:156-237). Fully vectorized with
 numpy; no loops over tiles.
 """
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 

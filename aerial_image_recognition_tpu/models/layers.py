@@ -10,7 +10,7 @@ Design notes:
     deployment path so the hot graph is conv+bias+activation only.
 """
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -6,16 +6,15 @@ orbax/npz checkpoints; an ONNX weight importer can be added when onnx is
 available (the reference's blobs are git-LFS-missing, .MISSING_LARGE_BLOBS).
 """
 
-import io
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aerial_image_recognition_tpu.models.yolov7 import YOLOv7, ANCHORS_TINY, ANCHORS_BASE
+from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
 from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
 from aerial_image_recognition_tpu.models.xunet import XUnet
 from aerial_image_recognition_tpu.ops.decode import decode_yolov7, decode_yolov8

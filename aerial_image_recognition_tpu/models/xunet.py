@@ -7,7 +7,7 @@ implied by its name: 256×256 input, per-pixel mask output). Standard U-Net
 encoder/decoder with skip connections; sigmoid applied by the caller.
 """
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

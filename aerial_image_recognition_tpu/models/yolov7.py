@@ -14,7 +14,7 @@ reads at simple_detector.py:479. Batched — the reference was locked to
 batch=1 (simple_detector.py:648-649); this rebuild jits at arbitrary B.
 """
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,8 +17,7 @@ normalization with bilinear tile interpolation — which reproduces CLAHE's
 local-contrast effect with TPU-friendly dataflow.
 """
 
-from functools import partial
-from typing import Dict, List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ all matching/scatter happens with masked scatter-max/gather — no
 data-dependent shapes, so the whole step jits and shards cleanly.
 """
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ Replaces the notebook's ultralytics model.val() step
 Pure numpy — evaluation is host-side.
 """
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

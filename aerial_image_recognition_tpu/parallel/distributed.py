@@ -14,9 +14,7 @@ default mesh covers local devices).
 
 import os
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Optional, Tuple
 
 
 @dataclass

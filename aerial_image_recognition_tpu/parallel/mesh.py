@@ -8,7 +8,7 @@ scans extend the same mesh over DCN via jax.distributed (each host fetches
 only its own AOI stripe — see parallel.stripes).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -15,8 +15,7 @@ whenever suppression chains don't straddle a stripe border (guaranteed not
 to matter when halo ≥ radius and a detection's suppressor is within radius).
 """
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

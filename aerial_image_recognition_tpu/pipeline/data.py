@@ -10,7 +10,7 @@ deterministic numpy host transforms feeding fixed-shape device batches.
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np

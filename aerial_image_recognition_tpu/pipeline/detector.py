@@ -16,9 +16,7 @@ grid-bucketed vectorized version (post.dedup) instead of a python rtree loop.
 import os
 import signal
 import time
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, Optional
 
 from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
 from aerial_image_recognition_tpu.fetch.xyz import XYZFetcher

@@ -8,15 +8,13 @@ perf win over the reference's batch=1 constraint (simple_detector.py:649).
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from aerial_image_recognition_tpu.models.registry import ModelBundle, create_model
-from aerial_image_recognition_tpu.ops.nms import Detections, batched_nms
+from aerial_image_recognition_tpu.ops.nms import batched_nms
 from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
 from aerial_image_recognition_tpu.post.georef import lonlat_jax
 from aerial_image_recognition_tpu.runtime.config import DetectorConfig

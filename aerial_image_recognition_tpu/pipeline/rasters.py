@@ -11,7 +11,7 @@ Windows are packed into fixed-shape device batches (one compiled program);
 detections are georeferenced through the raster's affine transform.
 """
 
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 

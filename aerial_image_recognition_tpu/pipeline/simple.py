@@ -9,7 +9,6 @@ components: XYZFetcher (fixed-window mosaics), the fused jitted detect step
 vectorized georef, and grid-bucketed dedup.
 """
 
-import math
 import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple

@@ -9,8 +9,7 @@ inputs (no hand-written collectives needed — the scaling-book recipe).
 """
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

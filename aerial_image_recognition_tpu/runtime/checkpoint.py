@@ -17,7 +17,7 @@ import json
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 from aerial_image_recognition_tpu.gio.geojson import (
     detections_to_feature_collection, feature_collection_to_detections,

@@ -41,7 +41,7 @@ def diagnose(compile_check: bool = True) -> Dict:
 
     try:
         import flax
-        import optax
+        import optax  # noqa: F401 — availability probe
         out["flax_version"] = flax.__version__
         out["optax"] = True
     except Exception:

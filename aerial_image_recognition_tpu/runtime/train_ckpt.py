@@ -7,9 +7,7 @@ round-trips through orbax so multi-session training resumes exactly.
 """
 
 import os
-from typing import Any, Dict, Optional
-
-import jax
+from typing import Dict
 
 
 def save_train_state(state: Dict, path: str) -> None:
