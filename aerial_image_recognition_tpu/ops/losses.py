@@ -119,6 +119,88 @@ def yolov7_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
     return loss, {"box": total_box, "obj": total_obj, "cls": total_cls}
 
 
+def yolov8_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
+                num_classes: int,
+                strides: Sequence[int] = STRIDES,
+                box_w: float = 7.5, cls_w: float = 0.5, dfl_w: float = 1.5):
+    """Anchor-free detection loss for the YOLOv8 head.
+
+    Simplified assignment relative to ultralytics' task-aligned learning:
+    each target is assigned to the cell containing its center at the level
+    whose stride best matches the box size (√(w·h) ∈ [2s, 16s) bands) —
+    deterministic, fully vectorized, static-shaped. Losses: CIoU (box),
+    distribution focal loss on the ltrb bin histograms, BCE (cls).
+    """
+    from aerial_image_recognition_tpu.models.yolov8 import REG_MAX
+
+    tcls = targets[..., 0]
+    txy = targets[..., 1:3]
+    twh = targets[..., 3:5]
+    tvalid = tcls >= 0
+    size = jnp.sqrt(jnp.maximum(twh[..., 0] * twh[..., 1], 1e-6))
+
+    total_box = 0.0
+    total_cls = 0.0
+    total_dfl = 0.0
+    for li, (out, s) in enumerate(zip(outs, strides)):
+        b, h, w, _ = out.shape
+        p = out.astype(jnp.float32)
+        # level assignment by size band
+        lo = 0.0 if li == 0 else 2.0 * s
+        hi = jnp.inf if li == len(outs) - 1 else 16.0 * s
+        match = tvalid & (size >= lo) & (size < hi)
+
+        cell = jnp.floor(txy / s)
+        cx = jnp.clip(cell[..., 0].astype(jnp.int32), 0, w - 1)
+        cy = jnp.clip(cell[..., 1].astype(jnp.int32), 0, h - 1)
+        bi = jnp.arange(b)[:, None]
+        pm = p[bi, cy, cx]                      # [B,T,4·REG_MAX+nc]
+
+        # DFL decode at matched cells
+        box_logits = pm[..., :4 * REG_MAX].reshape(*pm.shape[:-1], 4, REG_MAX)
+        bins = jnp.arange(REG_MAX, dtype=jnp.float32)
+        ltrb = jnp.einsum("btsk,k->bts",
+                          jax.nn.softmax(box_logits, -1), bins)
+        anchor = jnp.stack([cx, cy], -1).astype(jnp.float32) + 0.5
+        px1y1 = (anchor - ltrb[..., 0:2]) * s
+        px2y2 = (anchor + ltrb[..., 2:4]) * s
+        pbox = jnp.concatenate([(px1y1 + px2y2) / 2, px2y2 - px1y1], -1)
+        tbox = jnp.concatenate([txy, twh], -1)
+
+        mf = match.astype(jnp.float32)
+        n_match = jnp.maximum(mf.sum(), 1.0)
+        iou = ciou(pbox, tbox)
+        total_box += ((1.0 - iou) * mf).sum() / n_match
+
+        # DFL: cross-entropy against the two bins bracketing the true
+        # ltrb distances from the anchor point (stride units, clamped)
+        ax = cx.astype(jnp.float32) + 0.5
+        ay = cy.astype(jnp.float32) + 0.5
+        t_l = ax - (txy[..., 0] - twh[..., 0] / 2) / s
+        t_t = ay - (txy[..., 1] - twh[..., 1] / 2) / s
+        t_r = (txy[..., 0] + twh[..., 0] / 2) / s - ax
+        t_b = (txy[..., 1] + twh[..., 1] / 2) / s - ay
+        t_ltrb = jnp.clip(jnp.stack([t_l, t_t, t_r, t_b], -1),
+                          0.0, REG_MAX - 1.001)
+        lo_bin = jnp.floor(t_ltrb)
+        frac = t_ltrb - lo_bin
+        logp = jax.nn.log_softmax(box_logits, axis=-1)
+        lo_i = lo_bin.astype(jnp.int32)
+        lp_lo = jnp.take_along_axis(logp, lo_i[..., None], -1)[..., 0]
+        lp_hi = jnp.take_along_axis(logp, (lo_i + 1)[..., None], -1)[..., 0]
+        dfl = -((1.0 - frac) * lp_lo + frac * lp_hi).mean(-1)
+        total_dfl += (dfl * mf).sum() / n_match
+
+        # classification BCE over matched cells
+        onehot = jax.nn.one_hot(jnp.maximum(tcls, 0).astype(jnp.int32),
+                                num_classes)
+        cls_l = bce_logits(pm[..., 4 * REG_MAX:], onehot).sum(-1)
+        total_cls += (cls_l * mf).sum() / n_match
+
+    loss = box_w * total_box + dfl_w * total_dfl + cls_w * total_cls
+    return loss, {"box": total_box, "dfl": total_dfl, "cls": total_cls}
+
+
 def xunet_loss(logits: jnp.ndarray, masks: jnp.ndarray):
     """Per-pixel BCE + soft-dice for the segmentation head."""
     bce = bce_logits(logits, masks).mean()

@@ -17,7 +17,9 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from aerial_image_recognition_tpu.models.registry import ModelBundle
-from aerial_image_recognition_tpu.ops.losses import yolov7_loss, xunet_loss
+from aerial_image_recognition_tpu.ops.losses import (
+    xunet_loss, yolov7_loss, yolov8_loss,
+)
 from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
 
 
@@ -56,6 +58,8 @@ def make_train_step(bundle: ModelBundle, tx,
         if spec.family == "yolov7":
             loss, metrics = yolov7_loss(outs, targets, module.anchors,
                                         spec.num_classes)
+        elif spec.family == "yolov8":
+            loss, metrics = yolov8_loss(outs, targets, spec.num_classes)
         elif spec.family == "xunet":
             loss, metrics = xunet_loss(outs, targets)
         else:
