@@ -206,7 +206,7 @@ class FakeTileServer:
         return xml.encode()
 
     def _wmts_tile(self, q: Dict[str, str]) -> Optional[bytes]:
-        from aerial_image_recognition_tpu.fetch.wmts import TileMatrix, PIXEL_SIZE
+        from aerial_image_recognition_tpu.fetch.wmts import TileMatrix
         from aerial_image_recognition_tpu.geo.crs import transform_points
         ident = q["TILEMATRIX"]
         scale = self._WMTS_SCALES.get(ident)

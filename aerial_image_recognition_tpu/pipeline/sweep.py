@@ -14,7 +14,9 @@ from aerial_image_recognition_tpu.pipeline.detector import CarDetector
 
 def run_sweep(base_dir: str, overrides: Optional[Dict],
               tile_sizes: Sequence[float] = (100.0, 64.0, 51.2, 25.0, 20.0),
-              model_px: int = 640) -> List[Dict]:
+              model_px: int = 640, fetcher=None, detect_step=None
+              ) -> List[Dict]:
+    """fetcher/detect_step injection mirrors CarDetector's (hermetic tests)."""
     results = []
     for size in tile_sizes:
         cfg = dict(overrides or {})
@@ -24,7 +26,8 @@ def run_sweep(base_dir: str, overrides: Optional[Dict],
         cm_per_px = 100.0 * size / model_px
         print(f"\n=== sweep: {size:g} m tiles ({cm_per_px:.1f} cm/px) ===")
         t0 = time.time()
-        det = CarDetector(base_dir, cfg)
+        det = CarDetector(base_dir, cfg, fetcher=fetcher,
+                          detect_step=detect_step)
         try:
             out = det.detect(interactive=False, force_restart=True)
             results.append({
