@@ -51,12 +51,18 @@ def yolov7_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
                 anchors, num_classes: int,
                 strides: Sequence[int] = STRIDES,
                 box_w: float = 0.05, obj_w: float = 1.0, cls_w: float = 0.5,
-                anchor_t: float = 4.0):
+                anchor_t: float = 4.0, obj_iou_scored: bool = False):
     """outs[i] [B,Hi,Wi,3·(5+nc)] raw logits; targets [B,T,5] padded.
 
     Returns (scalar loss, metrics dict). Per level: targets are matched to
     anchors by wh-ratio < anchor_t at the cell containing the box center;
-    box CIoU + objectness BCE (IoU-scored, detached) + class BCE.
+    box CIoU + objectness BCE + class BCE.
+
+    obj_iou_scored: True = v5/v7-style detached-IoU objectness targets
+    (requires warm box predictions or large data — with few positives the
+    all-zero initial targets collapse the objectness head); False (default)
+    = classic binary targets at matched cells, which trains robustly from
+    scratch on small data.
     """
     tcls = targets[..., 0]
     txy = targets[..., 1:3]
@@ -105,8 +111,11 @@ def yolov7_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
             cls_l = bce_logits(pm[..., 5:], onehot[..., None, :]).sum(-1)
             total_cls += (cls_l * mf).sum() / n_match
 
-        # Objectness map: scatter detached IoU scores into [B,H,W,3]
-        iou_score = jnp.clip(jax.lax.stop_gradient(iou), 0.0, 1.0) * mf
+        # Objectness map: scatter targets into [B,H,W,3]
+        if obj_iou_scored:
+            iou_score = jnp.clip(jax.lax.stop_gradient(iou), 0.0, 1.0) * mf
+        else:
+            iou_score = mf
         flat_idx = ((bi * h + cy[..., None]) * w + cx[..., None]) * 3 + ki
         flat_idx = jnp.where(match, flat_idx, -1)             # dropped OOB
         tobj = jnp.zeros((b * h * w * 3,), jnp.float32)
