@@ -40,7 +40,14 @@ def decode_yolov7(outs: List[jnp.ndarray],
         anc_a = jnp.asarray(anc, dtype=jnp.float32)[None, None, None, :, :]
         xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * float(s)
         wh = (y[..., 2:4] * 2.0) ** 2 * anc_a
-        scores = y[..., 4:5] * y[..., 5:]
+        if num_classes == 1:
+            # single-class: confidence is objectness alone (upstream yolo
+            # semantics — no class loss is trained at nc=1, and the
+            # reference thresholds on column 4 directly,
+            # simple_detector.py:480)
+            scores = y[..., 4:5]
+        else:
+            scores = y[..., 4:5] * y[..., 5:]
         boxes_all.append(jnp.concatenate([xy, wh], -1).reshape(b, -1, 4))
         scores_all.append(scores.reshape(b, -1, num_classes))
     return jnp.concatenate(boxes_all, 1), jnp.concatenate(scores_all, 1)

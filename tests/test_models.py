@@ -69,7 +69,8 @@ def test_yolov7_decode_geometry():
     assert abs(float(lvl0[1, 0, 0, 1]) - 12.0) < 1e-5
     # wh = (2*0.5)^2 * anchor = anchor
     assert abs(float(lvl0[0, 0, 0, 2]) - 10.0) < 1e-5
-    assert float(scores[0, 0, 0]) == pytest.approx(0.25, abs=1e-6)  # 0.5*0.5
+    # nc=1 → confidence is objectness alone: σ(0) = 0.5
+    assert float(scores[0, 0, 0]) == pytest.approx(0.5, abs=1e-6)
 
 
 def test_xunet_shapes():
