@@ -113,7 +113,35 @@ def create_model(name: str, *, dtype=jnp.bfloat16, seed: int = 0,
         dummy = jnp.zeros((1, spec.input_size, spec.input_size, 3),
                           dtype=dtype)
         params = module.init(rng, dummy, train=False)
+        params = _prior_init_detect_bias(params, spec)
     return ModelBundle(spec=spec, module=module, params=params)
+
+
+def _prior_init_detect_bias(params, spec: ModelSpec):
+    """Detection-prior bias init (the upstream yolo trick): objectness /
+    class logits start at σ≈exp(−5)≈0.7%, so fresh training isn't flooded
+    by background gradient. No-op for loaded checkpoints."""
+    import flax
+    params = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    p = params.get("params", {})
+    if spec.family == "yolov7":
+        no = 5 + spec.num_classes
+        for key in list(p.keys()):
+            if key.startswith("detect"):
+                bias = np.asarray(p[key]["bias"]).copy()
+                for a in range(3):
+                    bias[a * no + 4] = -5.0          # objectness prior
+                    bias[a * no + 5:(a + 1) * no] = -5.0  # class priors
+                p[key] = dict(p[key], bias=jnp.asarray(bias))
+    elif spec.family == "yolov8":
+        det = p.get("detect", {})
+        for key in list(det.keys()):
+            if key.startswith("cls") and key.endswith("_out"):
+                bias = np.asarray(det[key]["bias"]).copy()
+                bias[:] = -5.0
+                det[key] = dict(det[key], bias=jnp.asarray(bias))
+        p["detect"] = det
+    return params
 
 
 # ------------------------------------------------------------ persistence

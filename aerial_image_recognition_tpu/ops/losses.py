@@ -51,7 +51,8 @@ def yolov7_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
                 anchors, num_classes: int,
                 strides: Sequence[int] = STRIDES,
                 box_w: float = 0.05, obj_w: float = 1.0, cls_w: float = 0.5,
-                anchor_t: float = 4.0, obj_iou_scored: bool = False):
+                anchor_t: float = 4.0, obj_iou_scored: bool = False,
+                obj_pos_weight: float = 1.0):
     """outs[i] [B,Hi,Wi,3·(5+nc)] raw logits; targets [B,T,5] padded.
 
     Returns (scalar loss, metrics dict). Per level: targets are matched to
@@ -122,7 +123,13 @@ def yolov7_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
         tobj = tobj.at[flat_idx.reshape(-1)].max(
             iou_score.reshape(-1), mode="drop")
         tobj = tobj.reshape(b, h, w, 3)
-        total_obj += obj_balance[li] * bce_logits(p[..., 4], tobj).mean()
+        obj_bce = bce_logits(p[..., 4], tobj)
+        if obj_pos_weight != 1.0:
+            # positives are ~1e-3 of cells on sparse scenes; weighting keeps
+            # their gradient from drowning in the background sea
+            w_map = jnp.where(tobj > 0, obj_pos_weight, 1.0)
+            obj_bce = obj_bce * w_map / w_map.mean()
+        total_obj += obj_balance[li] * obj_bce.mean()
 
     loss = box_w * total_box + obj_w * total_obj + cls_w * total_cls
     return loss, {"box": total_box, "obj": total_obj, "cls": total_cls}

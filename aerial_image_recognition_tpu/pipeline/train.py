@@ -40,7 +40,8 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4):
 
 def make_train_step(bundle: ModelBundle, tx,
                     mesh: Optional[Mesh] = None,
-                    axis_name: str = "data") -> Callable:
+                    axis_name: str = "data",
+                    loss_kwargs: Optional[Dict] = None) -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
 
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
@@ -55,11 +56,12 @@ def make_train_step(bundle: ModelBundle, tx,
         variables = {"params": params, "batch_stats": batch_stats}
         outs, updates = module.apply(variables, x, train=True,
                                      mutable=["batch_stats"])
+        lk = loss_kwargs or {}
         if spec.family == "yolov7":
             loss, metrics = yolov7_loss(outs, targets, module.anchors,
-                                        spec.num_classes)
+                                        spec.num_classes, **lk)
         elif spec.family == "yolov8":
-            loss, metrics = yolov8_loss(outs, targets, spec.num_classes)
+            loss, metrics = yolov8_loss(outs, targets, spec.num_classes, **lk)
         elif spec.family == "xunet":
             loss, metrics = xunet_loss(outs, targets)
         else:
