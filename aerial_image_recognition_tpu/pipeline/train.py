@@ -41,21 +41,33 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4):
 def make_train_step(bundle: ModelBundle, tx,
                     mesh: Optional[Mesh] = None,
                     axis_name: str = "data",
-                    loss_kwargs: Optional[Dict] = None) -> Callable:
+                    loss_kwargs: Optional[Dict] = None,
+                    bn_mode: str = "batch") -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
 
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
     gradient all-reduce over ICI automatically.
+
+    bn_mode: 'batch' = standard BatchNorm training (batch statistics +
+    running-average updates); 'frozen' = BN applies its running statistics
+    as a fixed affine during training too — train/eval consistent by
+    construction, the right choice for small or synthetic datasets where
+    running averages track batch statistics poorly.
     """
     module = bundle.module
     spec = bundle.spec
+    input_size = spec.input_size
 
     def loss_fn(params, batch_stats, images_u8, targets):
-        x = preprocess_batch(images_u8, out_size=spec.input_size,
+        x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
                              dtype=jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
-        outs, updates = module.apply(variables, x, train=True,
-                                     mutable=["batch_stats"])
+        if bn_mode == "frozen":
+            outs = module.apply(variables, x, train=False)
+            updates = {"batch_stats": batch_stats}
+        else:
+            outs, updates = module.apply(variables, x, train=True,
+                                         mutable=["batch_stats"])
         lk = loss_kwargs or {}
         if spec.family == "yolov7":
             loss, metrics = yolov7_loss(outs, targets, module.anchors,
