@@ -147,12 +147,19 @@ def _prior_init_detect_bias(params, spec: ModelSpec):
 # ------------------------------------------------------------ persistence
 
 def save_params(params, path: str) -> None:
-    """Flat-npz checkpoint (portable, no orbax dependency at load time)."""
+    """Flat-npz checkpoint (portable, no orbax dependency at load time).
+
+    bfloat16 leaves are stored bit-exact as uint16 with a ``:bf16`` key
+    suffix (numpy has no native bfloat16)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for keypath, leaf in flat:
         key = "/".join(_keystr(k) for k in keypath)
-        out[key] = np.asarray(leaf)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:
+            out[key + ":bf16"] = arr.view(np.uint16)
+        else:
+            out[key] = arr
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         np.savez_compressed(f, **out)
@@ -160,7 +167,12 @@ def save_params(params, path: str) -> None:
 
 def load_params(path: str):
     with np.load(path) as data:
-        flat = {k: jnp.asarray(v) for k, v in data.items()}
+        flat = {}
+        for k, v in data.items():
+            if k.endswith(":bf16"):
+                flat[k[:-5]] = jnp.asarray(v).view(jnp.bfloat16)
+            else:
+                flat[k] = jnp.asarray(v)
     tree: Dict[str, Any] = {}
     for key, leaf in flat.items():
         node = tree
