@@ -56,7 +56,6 @@ def make_train_step(bundle: ModelBundle, tx,
     """
     module = bundle.module
     spec = bundle.spec
-    input_size = spec.input_size
 
     def loss_fn(params, batch_stats, images_u8, targets):
         x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
@@ -112,7 +111,9 @@ def init_train_state(bundle: ModelBundle, tx) -> Dict:
 def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         lr: float = 1e-4, mesh: Optional[Mesh] = None,
         eval_loader=None, eval_every: int = 1,
-        conf_threshold: float = 0.25, log_fn=print) -> Dict:
+        conf_threshold: float = 0.25, log_fn=print,
+        bn_mode: str = "batch",
+        loss_kwargs: Optional[Dict] = None) -> Dict:
     """Train a detector: notebook-workflow parity
     (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
     loader config) with in-framework mAP validation (cell 22).
@@ -124,7 +125,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     import numpy as np
 
     tx = make_optimizer(lr=lr)
-    step_fn = make_train_step(bundle, tx, mesh=mesh)
+    step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
+                              loss_kwargs=loss_kwargs)
     state = init_train_state(bundle, tx)
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
