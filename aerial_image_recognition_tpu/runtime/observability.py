@@ -18,11 +18,13 @@ from typing import Dict, Optional
 
 
 class PhaseTimer:
-    """Accumulating named-phase wall-clock timers."""
+    """Accumulating named-phase wall-clock timers (thread-safe: fetch
+    threads time tile_fetching while the main thread times processing)."""
 
     def __init__(self):
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextmanager
     def phase(self, name: str):
@@ -30,12 +32,12 @@ class PhaseTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.perf_counter() - t0
-            self.counts[name] += 1
+            self.add(name, time.perf_counter() - t0)
 
     def add(self, name: str, seconds: float):
-        self.totals[name] += seconds
-        self.counts[name] += 1
+        with self._lock:
+            self.totals[name] += seconds
+            self.counts[name] += 1
 
     def report(self) -> Dict[str, float]:
         return {k: round(v, 3) for k, v in self.totals.items()}
