@@ -101,3 +101,17 @@ def upsample2(x):
 
 def concat(xs: Sequence[jax.Array]) -> jax.Array:
     return jnp.concatenate(xs, axis=-1)
+
+
+def space_to_depth2(x):
+    """[B,H,W,C] → [B,H/2,W/2,4C] (the 'Focus' rearrangement).
+
+    TPU rationale: the very first conv sees C=3 — only 3 of the MXU's 128
+    lanes are useful and the op is HBM-bound at full resolution. Folding a
+    2×2 neighborhood into channels quarters the spatial size, 4×es the
+    lane occupancy, and is itself a pure relayout XLA emits as one copy.
+    """
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)

@@ -139,10 +139,20 @@ class SPPCSPCTiny(nn.Module):
 
 class YOLOv7(nn.Module):
     """Full detector. variant ∈ {'tiny','base'}; returns raw per-level maps
-    [B, H/s, W/s, 3·(5+nc)] for s in (8,16,32) — decode in ops.decode."""
+    [B, H/s, W/s, 3·(5+nc)] for s in (8,16,32) — decode in ops.decode.
+
+    s2d_stem: replace the strided stem conv with space-to-depth + stride-1
+    conv (same output shape/receptive behavior, better MXU lane occupancy
+    for the 3-channel input — see layers.space_to_depth2). Measured on v5e:
+    within noise of the plain stem (28.4 vs 27.9 ms / 128×640² batch — XLA
+    already handles the strided 3-channel conv well), kept as an opt-in for
+    experimentation. Changes the stem parameter shape, so upstream weight
+    import would need the corresponding kernel transform.
+    """
     num_classes: int = 1
     variant: str = "tiny"
     dtype: Any = jnp.bfloat16
+    s2d_stem: bool = False
 
     @property
     def anchors(self):
@@ -169,7 +179,12 @@ class YOLOv7(nn.Module):
 
     def _tiny(self, x, train):
         kw = dict(act="leaky", dtype=self.dtype)
-        x = ConvBN(32, 3, stride=2, name="stem0", **kw)(x, train)       # P1/2
+        if self.s2d_stem:
+            from aerial_image_recognition_tpu.models.layers import space_to_depth2
+            x = space_to_depth2(x)                                       # P1/2
+            x = ConvBN(32, 3, stride=1, name="stem0", **kw)(x, train)
+        else:
+            x = ConvBN(32, 3, stride=2, name="stem0", **kw)(x, train)   # P1/2
         x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)       # P2/4
         x = ELANTiny(32, 64, name="elan1", dtype=self.dtype)(x, train)
         x = maxpool2(x)                                                  # P3/8

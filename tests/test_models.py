@@ -176,3 +176,18 @@ def test_nms_conf_threshold_and_validity():
     assert int(det.valid.sum()) == 1
     assert float(det.scores[0, 0]) == pytest.approx(0.9)
     assert int(det.classes[0, 1]) == -1
+
+
+def test_yolov7_s2d_stem_shapes():
+    # opt-in space-to-depth stem: identical output contract
+    from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
+    module = YOLOv7(num_classes=1, variant="tiny", dtype=jnp.float32,
+                    s2d_stem=True)
+    imgs = jnp.zeros((1, S, S, 3), dtype=jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), imgs, train=False)
+    outs = module.apply(params, imgs, train=False)
+    assert [o.shape for o in outs] == [
+        (1, S // 8, S // 8, 18), (1, S // 16, S // 16, 18),
+        (1, S // 32, S // 32, 18)]
+    # stem kernel consumes 12 channels after the 2×2 fold
+    assert params["params"]["stem0"]["conv"]["kernel"].shape[2] == 12
