@@ -74,6 +74,23 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             scores = (scores_v.reshape(v, b, a, -1)
                       * wts[:, None, None, None].astype(scores_v.dtype)) \
                 .transpose(1, 0, 2, 3).reshape(b, v * a, -1)
+        elif cfg.extra.get("multiscale"):
+            # multiscale inference (archived-generation parity:
+            # x_arch/03_analyze_wms.ipynb cell 8 used scales
+            # [0.85, 1.0, 1.15]): forward at each scale, union the decoded
+            # boxes (rescaled to the base frame) before one NMS
+            scales = tuple(cfg.extra["multiscale"])
+            boxes_l, scores_l = [], []
+            for sc in scales:
+                size_s = max(32, int(round(model_size * sc / 32)) * 32)
+                xs = (x if size_s == model_size else jax.image.resize(
+                    x, (x.shape[0], size_s, size_s, x.shape[3]),
+                    method="bilinear"))
+                bb, ss = bundle.forward(params, xs)
+                boxes_l.append(bb * (model_size / size_s))
+                scores_l.append(ss)
+            boxes = jnp.concatenate(boxes_l, axis=1)
+            scores = jnp.concatenate(scores_l, axis=1)
         else:
             boxes, scores = bundle.forward(params, x)
         det = batched_nms(
