@@ -119,8 +119,10 @@ class CarDetector:
                                        c.tile_overlap, len(tiles))
 
         ckpt = CheckpointManager(self.checkpoint_dir, prefix=c.output_prefix)
-        results = ResultsManager(self.output_dir, prefix=c.output_prefix,
-                                 duplicate_distance=c.duplicate_distance)
+        results = ResultsManager(
+            self.output_dir, prefix=c.output_prefix,
+            duplicate_distance=c.duplicate_distance,
+            heatmap_hex_m=float(c.extra.get("heatmap_hex_m", 0.0)))
         start_index = 0
         if not force_restart:
             state = ckpt.load()

@@ -23,11 +23,13 @@ from aerial_image_recognition_tpu.geo.tmerc import utm_epsg
 class ResultsManager:
     def __init__(self, output_dir: str, prefix: str = "detections",
                  duplicate_distance: float = 1.0,
-                 write_shapefile: bool = True):
+                 write_shapefile: bool = True,
+                 heatmap_hex_m: float = 0.0):
         self.output_dir = output_dir
         self.prefix = prefix
         self.duplicate_distance = duplicate_distance
         self.write_shp = write_shapefile
+        self.heatmap_hex_m = heatmap_hex_m
         self.detections: List[dict] = []
         self.coverages: List = []
         os.makedirs(output_dir, exist_ok=True)
@@ -79,4 +81,10 @@ class ResultsManager:
             detections_to_shapefile(
                 os.path.join(self.output_dir, f"{self.prefix}_results.shp"),
                 self.detections)
+        if self.heatmap_hex_m > 0 and self.detections:
+            from aerial_image_recognition_tpu.post.heatmap import hex_heatmap
+            hex_heatmap(self.detections, self.heatmap_hex_m,
+                        output_geojson=os.path.join(
+                            self.output_dir,
+                            f"{self.prefix}_hex_heatmap.geojson"))
         return path
