@@ -1,0 +1,117 @@
+"""Exact CLAHE (contrast-limited adaptive histogram equalization), numpy.
+
+Host-side parity implementation of the cv2.createCLAHE pipeline the
+reference applies to the LAB lightness channel for its TTA variations
+(_script/gpu_handler.py:103-137: clipLimit 2.0-4.0, tileGridSize 8×8).
+The on-device TTA path uses the differentiable local-contrast approximant
+(ops/augment.local_contrast); this module is the bit-faithful algorithm for
+host-side preprocessing/augmentation and for validating the approximant.
+
+Algorithm: per-tile 256-bin histogram → clip at clip_limit × mean bin
+height, redistribute the excess uniformly → CDF lookup table per tile →
+bilinear interpolation of the four surrounding tiles' LUTs per pixel.
+"""
+
+from typing import Tuple
+
+import numpy as np
+
+
+def clahe_gray(img: np.ndarray, clip_limit: float = 2.0,
+               grid: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """uint8 [H, W] → uint8 [H, W]."""
+    h, w = img.shape
+    gh, gw = grid
+    th, tw = -(-h // gh), -(-w // gw)       # ceil tiles
+    # pad to an exact tile multiple (edge-replicate, like cv2)
+    pad_h, pad_w = th * gh - h, tw * gw - w
+    padded = np.pad(img, ((0, pad_h), (0, pad_w)), mode="edge")
+
+    # per-tile LUTs
+    tiles = padded.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3)
+    luts = np.empty((gh, gw, 256), np.uint8)
+    n_px = th * tw
+    clip = max(1, int(clip_limit * n_px / 256.0))
+    for i in range(gh):
+        for j in range(gw):
+            hist = np.bincount(tiles[i, j].ravel(), minlength=256)
+            excess = np.maximum(hist - clip, 0).sum()
+            hist = np.minimum(hist, clip) + excess // 256
+            # residual excess spreads one per bin from the start (cv2-like)
+            rem = int(excess % 256)
+            if rem:
+                hist[:rem] += 1
+            cdf = np.cumsum(hist)
+            cdf_min = cdf[np.nonzero(cdf)[0][0]] if cdf[-1] else 0
+            denom = max(cdf[-1] - cdf_min, 1)
+            luts[i, j] = np.clip(np.round(
+                (cdf - cdf_min) * 255.0 / denom), 0, 255).astype(np.uint8)
+
+    # bilinear interpolation between tile LUTs
+    ys, xs = np.mgrid[0:h, 0:w]
+    fy = (ys + 0.5) / th - 0.5
+    fx = (xs + 0.5) / tw - 0.5
+    y0 = np.clip(np.floor(fy).astype(int), 0, gh - 1)
+    x0 = np.clip(np.floor(fx).astype(int), 0, gw - 1)
+    y1 = np.minimum(y0 + 1, gh - 1)
+    x1 = np.minimum(x0 + 1, gw - 1)
+    wy = np.clip(fy - y0, 0.0, 1.0)
+    wx = np.clip(fx - x0, 0.0, 1.0)
+
+    v = img
+    p00 = luts[y0, x0, v].astype(np.float32)
+    p01 = luts[y0, x1, v].astype(np.float32)
+    p10 = luts[y1, x0, v].astype(np.float32)
+    p11 = luts[y1, x1, v].astype(np.float32)
+    out = ((1 - wy) * ((1 - wx) * p00 + wx * p01)
+           + wy * ((1 - wx) * p10 + wx * p11))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------- LAB plumbing
+
+_RGB2XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]], np.float32)
+_XYZ2RGB = np.linalg.inv(_RGB2XYZ).astype(np.float32)
+_WHITE = np.array([0.950456, 1.0, 1.088754], np.float32)
+
+
+def _f(t):
+    d = 6.0 / 29.0
+    return np.where(t > d**3, np.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+
+
+def _finv(t):
+    d = 6.0 / 29.0
+    return np.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+
+
+def rgb_to_lab(rgb: np.ndarray) -> np.ndarray:
+    """uint8 [H,W,3] → float32 LAB (L in 0..100)."""
+    x = (rgb.astype(np.float32) / 255.0) @ _RGB2XYZ.T / _WHITE
+    fx = _f(x)
+    L = 116.0 * fx[..., 1] - 16.0
+    a = 500.0 * (fx[..., 0] - fx[..., 1])
+    b = 200.0 * (fx[..., 1] - fx[..., 2])
+    return np.stack([L, a, b], -1)
+
+
+def lab_to_rgb(lab: np.ndarray) -> np.ndarray:
+    fy = (lab[..., 0] + 16.0) / 116.0
+    fx = fy + lab[..., 1] / 500.0
+    fz = fy - lab[..., 2] / 200.0
+    xyz = np.stack([_finv(fx), _finv(fy), _finv(fz)], -1) * _WHITE
+    rgb = xyz @ _XYZ2RGB.T
+    return np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint8)
+
+
+def clahe_rgb(img: np.ndarray, clip_limit: float = 2.0,
+              grid: Tuple[int, int] = (8, 8)) -> np.ndarray:
+    """CLAHE on the LAB lightness channel of an RGB uint8 image — the
+    reference's exact TTA transform (gpu_handler.py:103-117)."""
+    lab = rgb_to_lab(img)
+    l8 = np.clip(np.round(lab[..., 0] * 255.0 / 100.0), 0, 255).astype(np.uint8)
+    l8 = clahe_gray(l8, clip_limit, grid)
+    lab[..., 0] = l8.astype(np.float32) * 100.0 / 255.0
+    return lab_to_rgb(lab)

@@ -1,0 +1,61 @@
+"""Exact CLAHE properties + LAB round trip."""
+
+import numpy as np
+import pytest
+
+from aerial_image_recognition_tpu.ops.clahe import (
+    clahe_gray, clahe_rgb, lab_to_rgb, rgb_to_lab,
+)
+
+
+def test_lab_roundtrip(rng):
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    back = lab_to_rgb(rgb_to_lab(img))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_lab_known_values():
+    white = np.full((1, 1, 3), 255, np.uint8)
+    lab = rgb_to_lab(white)
+    assert lab[0, 0, 0] == pytest.approx(100.0, abs=0.1)
+    assert abs(lab[0, 0, 1]) < 0.5 and abs(lab[0, 0, 2]) < 0.5
+    black = np.zeros((1, 1, 3), np.uint8)
+    assert rgb_to_lab(black)[0, 0, 0] == pytest.approx(0.0, abs=0.1)
+
+
+def test_clahe_increases_local_contrast(rng):
+    # low-contrast image: narrow band around 120
+    img = (120 + rng.normal(0, 5, (64, 64))).clip(0, 255).astype(np.uint8)
+    out = clahe_gray(img, clip_limit=4.0, grid=(4, 4))
+    assert out.std() > img.std() * 1.5
+    assert out.dtype == np.uint8
+
+
+def test_clahe_clip_limits_amplification(rng):
+    img = (120 + rng.normal(0, 5, (64, 64))).clip(0, 255).astype(np.uint8)
+    mild = clahe_gray(img, clip_limit=1.2, grid=(4, 4))
+    strong = clahe_gray(img, clip_limit=8.0, grid=(4, 4))
+    assert strong.std() > mild.std()
+
+
+def test_clahe_identity_on_uniform():
+    img = np.full((64, 64), 100, np.uint8)
+    out = clahe_gray(img, clip_limit=2.0, grid=(8, 8))
+    # uniform input stays (nearly) uniform — no contrast invented
+    assert out.std() < 2.0
+
+
+def test_clahe_rgb_preserves_shape_and_chroma_sign(rng):
+    img = rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+    out = clahe_rgb(img, clip_limit=2.0)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # lightness redistributed, chroma roughly preserved
+    lab_in, lab_out = rgb_to_lab(img), rgb_to_lab(out)
+    corr = np.corrcoef(lab_in[..., 1].ravel(), lab_out[..., 1].ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_clahe_nonsquare_and_odd_sizes(rng):
+    img = rng.integers(0, 255, (50, 37), dtype=np.uint8)
+    out = clahe_gray(img, clip_limit=2.0, grid=(8, 8))
+    assert out.shape == (50, 37)
