@@ -17,7 +17,6 @@ import numpy as np
 from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
 from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
 from aerial_image_recognition_tpu.models.xunet import XUnet
-from aerial_image_recognition_tpu.ops.decode import decode_yolov7, decode_yolov8
 
 
 @dataclass
@@ -93,6 +92,9 @@ class ModelBundle:
 
     def forward(self, params, images):
         """images → (boxes [B,A,4], scores [B,A,nc]) or mask logits."""
+        # deferred: ops.decode ↔ models would otherwise be an import cycle
+        from aerial_image_recognition_tpu.ops.decode import (
+            decode_yolov7, decode_yolov8)
         outs = self.raw_apply(params, images)
         if self.spec.family == "yolov7":
             anchors = self.module.anchors

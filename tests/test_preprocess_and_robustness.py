@@ -1,0 +1,106 @@
+"""Device preprocess ops, device dedup, and scan-under-failure robustness."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.ops.preprocess import (
+    assemble_mosaic, preprocess_batch,
+)
+from aerial_image_recognition_tpu.post.dedup import dedup_device
+
+
+def test_preprocess_normalize_and_dtype(rng):
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    out = preprocess_batch(imgs, out_size=64, dtype=jnp.float32)
+    assert out.shape == (2, 64, 64, 3) and out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(imgs, np.float32) / 255.0,
+                               atol=1e-6)
+
+
+def test_preprocess_center_crop_then_resize(rng):
+    # 128² source, center-crop 96, resize 64 — the XYZ 1024→864→640 shape
+    img = np.zeros((1, 128, 128, 3), np.uint8)
+    img[0, 16:112, 16:112] = 200          # bright center crop region
+    img[0, :16] = 10                       # dark border that must vanish
+    out = preprocess_batch(jnp.asarray(img), out_size=64, crop_size=96,
+                           dtype=jnp.float32)
+    assert out.shape == (1, 64, 64, 3)
+    assert float(out.min()) > 0.7          # border never sampled
+
+
+def test_assemble_mosaic_layout():
+    # 2×2 grid of 4-px tiles with distinct values
+    tiles = np.zeros((1, 4, 4, 4, 3), np.uint8)
+    for i in range(4):
+        tiles[0, i] = (i + 1) * 50
+    m = assemble_mosaic(jnp.asarray(tiles), grid=(2, 2), tile_px=4)
+    assert m.shape == (1, 8, 8, 3)
+    m = np.asarray(m)
+    assert (m[0, :4, :4] == 50).all()      # row-major tile order
+    assert (m[0, :4, 4:] == 100).all()
+    assert (m[0, 4:, :4] == 150).all()
+    assert (m[0, 4:, 4:] == 200).all()
+
+
+def test_dedup_device_greedy_semantics():
+    # three points: a beats b (1.5 m apart), c independent (10 m away)
+    x = jnp.asarray([0.0, 1.5, 10.0, 1e9], jnp.float32)
+    y = jnp.zeros(4, jnp.float32)
+    conf = jnp.asarray([0.9, 0.8, 0.7, -jnp.inf], jnp.float32)
+    idx, kconf, valid = dedup_device(x, y, conf, radius_m=2.0, max_keep=4)
+    kept = sorted(float(c) for c in np.asarray(kconf)[np.asarray(valid)])
+    np.testing.assert_allclose(kept, [0.7, 0.9], rtol=1e-6)
+
+
+def test_scan_survives_fetch_failures(tmp_path, monkeypatch):
+    """30% dropped requests with only 1 retry: failed tiles are recorded,
+    the scan still completes and emits results."""
+    from aerial_image_recognition_tpu.fetch.fake import (
+        FakeTileServer, FakeWorld, FaultConfig)
+    from aerial_image_recognition_tpu.fetch.xyz import XYZFetcher
+    from aerial_image_recognition_tpu.gio.geojson import write_geojson
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.detector import CarDetector
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        DetectStep, make_detect_fn)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    srv = FakeTileServer(FakeWorld(n_cars=5),
+                         faults=FaultConfig(drop_rate=0.3))
+    srv.start()
+    try:
+        monkeypatch.setattr(XYZFetcher, "window_px",
+                            lambda self, lat, m=None: 96)
+        cfg = DetectorConfig(confidence_threshold=0.3)
+        bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+        fn = jax.jit(make_detect_fn(bundle, cfg, model_size=64))
+        step = DetectStep(bundle=bundle, fn=fn, batch=4, input_size=96,
+                          model_size=64)
+        aoi = {"type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": [[
+                [20.9992, 52.1992], [21.0008, 52.1992], [21.0008, 52.2008],
+                [20.9992, 52.2008], [20.9992, 52.1992]]]}}]}
+        frame = str(tmp_path / "aoi.geojson")
+        write_geojson(aoi, frame)
+        fetcher = XYZFetcher(srv.xyz_template, zoom=17, num_workers=4,
+                             subdomains=("",), retries=1)
+        det = CarDetector(str(tmp_path), {
+            "frame_path": frame, "use_xyz": True,
+            "xyz_url": srv.xyz_template,
+            "batch_size": 8, "device_batch": 4,
+            "checkpoint_interval": 10**9,
+        }, fetcher=fetcher, detect_step=step)
+        out = det.detect(force_restart=True)
+        assert out["tiles"] >= 4
+        # failures were observed but didn't kill the scan
+        assert fetcher.http.stats.failures > 0
+        import os
+        assert os.path.exists(os.path.join(
+            str(tmp_path), "output", "detections_results.geojson"))
+        fetcher.close()
+    finally:
+        srv.stop()
