@@ -190,6 +190,23 @@ class XYZFetcher:
         futures = [self._img_pool.submit(one, b) for b in bboxes]
         return [f.result() for f in futures]
 
+    def save_preview(self, tile: TileImage, path: str) -> None:
+        """Write a tile-boundary preview GeoJSON (the monolith's
+        preview_tile.geojson emission, xyz_handler.py:117-146)."""
+        import json
+        import os
+        w, s, e, n = tile.bounds
+        doc = {"type": "FeatureCollection", "features": [{
+            "type": "Feature",
+            "geometry": {"type": "Polygon", "coordinates": [[
+                [w, s], [e, s], [e, n], [w, n], [w, s]]]},
+            "properties": dict(tile.meta or {}, type="tile_boundary",
+                               bbox=[w, s, e, n]),
+        }]}
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2, default=float)
+
     def close(self):
         self._img_pool.shutdown(wait=False, cancel_futures=True)
         self._pool.shutdown(wait=False, cancel_futures=True)

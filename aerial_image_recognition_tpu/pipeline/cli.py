@@ -44,13 +44,24 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--event-log", dest="event_log")
     p.add_argument("--params", dest="params_path",
                    help="model parameter checkpoint (.npz)")
+    p.add_argument("--tta", action="store_true", default=None,
+                   help="lighting TTA variation stack (gpu_handler parity)")
+    p.add_argument("--multiscale", default=None,
+                   help="comma-separated inference scales, e.g. 0.85,1,1.15")
+    p.add_argument("--heatmap-hex", dest="heatmap_hex_m", type=float,
+                   help="emit hex-density heatmap with this hex size (m)")
+    p.add_argument("--enhance-shadows", dest="enhance_shadows",
+                   action="store_true", default=None)
 
 
 def _overrides(args) -> Dict:
     skip = {"base_dir", "command", "force_restart", "interactive",
             "params_path"}
-    return {k: v for k, v in vars(args).items()
-            if v is not None and k not in skip}
+    out = {k: v for k, v in vars(args).items()
+           if v is not None and k not in skip}
+    if isinstance(out.get("multiscale"), str):
+        out["multiscale"] = [float(s) for s in out["multiscale"].split(",")]
+    return out
 
 
 def main(argv: Optional[List[str]] = None) -> int:

@@ -51,3 +51,37 @@ def test_async_facades():
         wms.fetcher.close()
     finally:
         srv.stop()
+
+
+def test_cli_override_parsing_extras():
+    from aerial_image_recognition_tpu.pipeline.cli import _overrides
+    import argparse
+    ns = argparse.Namespace(
+        base_dir=".", command="detect", force_restart=False,
+        interactive=False, params_path=None, frame_path="x.shp",
+        tta=True, multiscale="0.85,1,1.15", heatmap_hex_m=50.0,
+        enhance_shadows=None, model_path=None)
+    out = _overrides(ns)
+    assert out["multiscale"] == [0.85, 1.0, 1.15]
+    assert out["tta"] is True and out["heatmap_hex_m"] == 50.0
+    assert "enhance_shadows" not in out
+    # DetectorConfig routes unknown keys into .extra
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    cfg = DetectorConfig().merged(out)
+    assert cfg.extra["multiscale"] == [0.85, 1.0, 1.15]
+
+
+def test_xyz_save_preview(tmp_path):
+    import json
+    import numpy as np
+    from aerial_image_recognition_tpu.fetch.xyz import TileImage, XYZFetcher
+    f = XYZFetcher("http://unused/{z}/{x}/{y}", num_workers=2)
+    tile = TileImage(np.zeros((4, 4, 3), np.uint8),
+                     (21.0, 52.2, 21.001, 52.201), meta={"zoom": 21})
+    p = str(tmp_path / "preview_tile.geojson")
+    f.save_preview(tile, p)
+    doc = json.load(open(p))
+    assert doc["features"][0]["properties"]["type"] == "tile_boundary"
+    ring = doc["features"][0]["geometry"]["coordinates"][0]
+    assert ring[0] == ring[-1]
+    f.close()
