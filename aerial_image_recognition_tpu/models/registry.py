@@ -108,7 +108,11 @@ def create_model(name: str, *, dtype=jnp.bfloat16, seed: int = 0,
                  params_path: Optional[str] = None) -> ModelBundle:
     spec = REGISTRY[resolve_model_name(name)]
     module = spec.make_module(dtype=dtype)
-    if params_path and os.path.exists(params_path):
+    if params_path:
+        if not os.path.exists(params_path):
+            raise FileNotFoundError(
+                f"model checkpoint {params_path!r} does not exist — refusing "
+                "to fall back to random weights")
         params = load_params(params_path)
     else:
         rng = jax.random.PRNGKey(seed)

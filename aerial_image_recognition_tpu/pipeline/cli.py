@@ -55,8 +55,7 @@ def _add_common(p: argparse.ArgumentParser):
 
 
 def _overrides(args) -> Dict:
-    skip = {"base_dir", "command", "force_restart", "interactive",
-            "params_path"}
+    skip = {"base_dir", "command", "force_restart", "interactive"}
     out = {k: v for k, v in vars(args).items()
            if v is not None and k not in skip}
     if isinstance(out.get("multiscale"), str):

@@ -114,7 +114,8 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                       donate: bool = True) -> DetectStep:
     bundle = bundle or create_model(
         cfg.model_path,
-        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+        dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+        params_path=cfg.params_path)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,
                             crop_size=crop_size, model_size=model_size)
     fn = jax.jit(detect, donate_argnums=(1,) if donate else ())

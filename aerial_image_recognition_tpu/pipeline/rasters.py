@@ -47,6 +47,7 @@ def _extract(img: np.ndarray, r: int, c: int, window: int) -> np.ndarray:
 def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
                    confidence: float = 0.4, model: str = "yolov8_tokyo",
                    batch: int = 16, detect_step=None,
+                   params: Optional[str] = None,
                    output_geojson: Optional[str] = None,
                    dedup_m: float = 2.0) -> List[Dict]:
     """Sliding-window detection over a GeoTIFF → georeferenced records."""
@@ -56,7 +57,8 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
 
     gt = src if isinstance(src, GeoTiff) else read_geotiff(src)
     h, w = gt.data.shape[:2]
-    cfg = DetectorConfig(model_path=model, confidence_threshold=confidence)
+    cfg = DetectorConfig(model_path=model, confidence_threshold=confidence,
+                         params_path=params)
     step = detect_step or build_detect_step(cfg, batch=batch,
                                             src_size=window)
     corners = list(iter_windows(h, w, window, stride))
@@ -133,7 +135,11 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
     if segment_fn is None:
         from aerial_image_recognition_tpu.models.registry import create_model
         from aerial_image_recognition_tpu.pipeline.inference import make_segment_fn
-        bundle = create_model("xunet_256", dtype=jnp.bfloat16)
+        # `params` is a checkpoint path here (str); after construction it
+        # becomes the live tree fed to segment_fn.
+        bundle = create_model(
+            "xunet_256", dtype=jnp.bfloat16,
+            params_path=params if isinstance(params, str) else None)
         cfg = DetectorConfig(model_family="xunet")
         segment_fn = jax.jit(make_segment_fn(bundle, cfg))
         params = bundle.params

@@ -44,6 +44,7 @@ class DetectorConfig:
     # --- Paths (reference _script/config.py:23-25) ---
     frame_path: str = "amsterdam.shp"
     model_path: str = "yolov7_itcvd"     # model name or checkpoint path
+    params_path: Optional[str] = None    # trained-weight checkpoint (.npz)
     output_prefix: str = "detections"
 
     # --- Model head ---
