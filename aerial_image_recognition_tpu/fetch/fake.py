@@ -176,7 +176,10 @@ class FakeTileServer:
         Image.fromarray(arr).save(buf, format="JPEG", quality=88)
         return buf.getvalue()
 
-    # WMTS fake matrix set: EPSG:2180-style, TopLeft chosen near the world
+    # WMTS fake matrix set: EPSG:2180-style, TopLeft chosen near the world.
+    # Stored internally as (easting, northing); the capabilities document
+    # publishes it north-first like the real geoportal (authority axis order
+    # for EPSG:2180), so clients must axis-swap — same as production.
     _WMTS_TOPLEFT = (100000.0, 850000.0)
     _WMTS_SCALES = {"z0": 3571.428571428571, "z1": 1785.7142857142856}
 
@@ -187,7 +190,7 @@ class FakeTileServer:
       <TileMatrix>
         <ows:Identifier>{ident}</ows:Identifier>
         <ScaleDenominator>{scale}</ScaleDenominator>
-        <TopLeftCorner>{self._WMTS_TOPLEFT[0]} {self._WMTS_TOPLEFT[1]}</TopLeftCorner>
+        <TopLeftCorner>{self._WMTS_TOPLEFT[1]} {self._WMTS_TOPLEFT[0]}</TopLeftCorner>
         <TileWidth>256</TileWidth>
         <TileHeight>256</TileHeight>
         <MatrixWidth>100000</MatrixWidth>
@@ -199,6 +202,7 @@ class FakeTileServer:
   <Contents>
     <TileMatrixSet>
       <ows:Identifier>FAKE2180</ows:Identifier>
+      <ows:SupportedCRS>urn:ogc:def:crs:EPSG::2180</ows:SupportedCRS>
       {''.join(tms)}
     </TileMatrixSet>
   </Contents>

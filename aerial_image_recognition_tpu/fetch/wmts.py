@@ -67,19 +67,58 @@ class TileMatrix:
         return (west, north - sy, west + sx, north)
 
 
+# Projected CRSs whose authority axis order is (northing, easting); WMTS
+# capabilities publish TopLeftCorner in authority order, so these need a
+# swap into our internal (x=easting, y=northing) convention. Includes the
+# reference's target EPSG:2180 (Polish CS92 — geoportal.gov.pl publishes
+# TopLeftCorner north-first; test_wmts.py:31-39 hardcodes the xy-swapped
+# values) and the CS2000 zones / common European north-first grids.
+_NORTH_FIRST_EPSG = {2180, 2176, 2177, 2178, 2179, 3006, 3035}
+
+
+def _epsg_of(crs_text: Optional[str]) -> Optional[int]:
+    """'urn:ogc:def:crs:EPSG::2180' / 'EPSG:2180' → 2180."""
+    if not crs_text:
+        return None
+    tail = crs_text.strip().split(":")[-1]
+    return int(tail) if tail.isdigit() else None
+
+
+def _is_north_first(epsg: Optional[int]) -> bool:
+    if epsg is None:
+        return False
+    # geographic CRSs (lat,lon authority order) live in the 4xxx block
+    return epsg in _NORTH_FIRST_EPSG or 4000 <= epsg < 5000
+
+
 def parse_capabilities(xml_bytes: bytes,
-                       matrix_set: Optional[str] = None) -> Dict[str, TileMatrix]:
-    """Capabilities XML → {matrix identifier: TileMatrix}."""
+                       matrix_set: Optional[str] = None,
+                       axis_order: str = "auto",
+                       default_epsg: Optional[int] = None) -> Dict[str, TileMatrix]:
+    """Capabilities XML → {matrix identifier: TileMatrix}.
+
+    axis_order: 'auto' swaps TopLeftCorner into (easting, northing) when the
+    matrix set's SupportedCRS has north-first authority axes (e.g. EPSG:2180,
+    EPSG:4326); 'xy' trusts the document as (x, y); 'yx' always swaps.
+    default_epsg is used when the document omits SupportedCRS.
+    """
     root = ET.fromstring(xml_bytes)
     out: Dict[str, TileMatrix] = {}
     for tms in root.iter(f"{{{_NS['wmts']}}}TileMatrixSet"):
         ident_el = tms.find("ows:Identifier", _NS)
         if matrix_set and (ident_el is None or ident_el.text != matrix_set):
             continue
+        crs_el = tms.find("ows:SupportedCRS", _NS)
+        epsg = _epsg_of(crs_el.text if crs_el is not None else None)
+        swap = (axis_order == "yx" or
+                (axis_order == "auto" and
+                 _is_north_first(epsg if epsg is not None else default_epsg)))
         for tm in tms.findall("wmts:TileMatrix", _NS):
             ident = tm.find("ows:Identifier", _NS).text
             scale = float(tm.find("wmts:ScaleDenominator", _NS).text)
             tl = tm.find("wmts:TopLeftCorner", _NS).text.split()
+            if swap:
+                tl = [tl[1], tl[0]]
             out[ident] = TileMatrix(
                 identifier=ident,
                 scale_denominator=scale,
@@ -96,11 +135,13 @@ class WMTSFetcher:
     def __init__(self, url: str, layer: str, *, matrix_set: str,
                  crs: int = 2180, image_format: str = "image/jpeg",
                  style: str = "default", num_workers: int = 25,
-                 timeout: float = 10.0, retries: int = 5):
+                 timeout: float = 10.0, retries: int = 5,
+                 axis_order: str = "auto"):
         self.url = url
         self.layer = layer
         self.matrix_set = matrix_set
         self.crs = crs
+        self.axis_order = axis_order
         self.image_format = image_format
         self.style = style
         self.http = TileHTTP(timeout=timeout, retries=retries)
@@ -121,7 +162,9 @@ class WMTSFetcher:
                 "VERSION": "1.0.0"})
             if body is None:
                 raise RuntimeError("WMTS GetCapabilities failed")
-            self._matrices = parse_capabilities(body, self.matrix_set)
+            self._matrices = parse_capabilities(body, self.matrix_set,
+                                                axis_order=self.axis_order,
+                                                default_epsg=self.crs)
         return self._matrices
 
     def available_zooms(self) -> List[Tuple[str, float]]:

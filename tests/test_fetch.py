@@ -122,6 +122,41 @@ def test_wmts_capabilities_and_neighborhood(server):
         f.close()
 
 
+def test_wmts_axis_order_swap():
+    """EPSG:2180 capabilities publish TopLeftCorner north-first (authority
+    axis order); parse must swap to internal (easting, northing). Real
+    geoportal.gov.pl behavior — test_wmts.py:31-39 hardcodes the swapped
+    values."""
+    doc = """<?xml version="1.0"?>
+<Capabilities xmlns="http://www.opengis.net/wmts/1.0"
+              xmlns:ows="http://www.opengis.net/ows/1.1">
+ <Contents><TileMatrixSet>
+  <ows:Identifier>M</ows:Identifier>
+  <ows:SupportedCRS>urn:ogc:def:crs:EPSG::2180</ows:SupportedCRS>
+  <TileMatrix>
+   <ows:Identifier>z0</ows:Identifier>
+   <ScaleDenominator>1000</ScaleDenominator>
+   <TopLeftCorner>850000 100000</TopLeftCorner>
+   <TileWidth>256</TileWidth><TileHeight>256</TileHeight>
+   <MatrixWidth>10</MatrixWidth><MatrixHeight>10</MatrixHeight>
+  </TileMatrix>
+ </TileMatrixSet></Contents></Capabilities>""".encode()
+    m = parse_capabilities(doc, "M")["z0"]
+    assert m.top_left == (100000.0, 850000.0)          # auto: swapped
+    m_xy = parse_capabilities(doc, "M", axis_order="xy")["z0"]
+    assert m_xy.top_left == (850000.0, 100000.0)       # trust document
+    # east-first CRS (e.g. EPSG:3857) must NOT swap in auto mode
+    doc_3857 = doc.replace(b"EPSG::2180", b"EPSG::3857")
+    m_merc = parse_capabilities(doc_3857, "M")["z0"]
+    assert m_merc.top_left == (850000.0, 100000.0)
+    # missing SupportedCRS falls back to default_epsg
+    doc_nocrs = doc.replace(
+        b"<ows:SupportedCRS>urn:ogc:def:crs:EPSG::2180</ows:SupportedCRS>",
+        b"")
+    m_d = parse_capabilities(doc_nocrs, "M", default_epsg=2180)["z0"]
+    assert m_d.top_left == (100000.0, 850000.0)
+
+
 def test_tile_cache_lru_eviction():
     c = TileCache(capacity=2)
     c.put("a", 1)
