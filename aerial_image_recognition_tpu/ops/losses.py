@@ -207,11 +207,21 @@ def yolov8_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
         dfl = -((1.0 - frac) * lp_lo + frac * lp_hi).mean(-1)
         total_dfl += (dfl * mf).sum() / n_match
 
-        # classification BCE over matched cells
+        # classification BCE over the FULL anchor map with zero targets at
+        # unassigned cells. YOLOv8 has no objectness channel — cls sigmoid IS
+        # the confidence (ops/decode.py) — so background cells need negative
+        # supervision or the model never learns to suppress background
+        # (upstream ultralytics computes BCE over all anchors likewise).
         onehot = jax.nn.one_hot(jnp.maximum(tcls, 0).astype(jnp.int32),
                                 num_classes)
-        cls_l = bce_logits(pm[..., 4 * REG_MAX:], onehot).sum(-1)
-        total_cls += (cls_l * mf).sum() / n_match
+        flat_idx = (bi * h + cy) * w + cx                     # [B,T]
+        flat_idx = jnp.where(match, flat_idx, -1)
+        tmap = jnp.zeros((b * h * w, num_classes), jnp.float32)
+        tmap = tmap.at[flat_idx.reshape(-1)].max(
+            onehot.reshape(-1, num_classes)
+            * mf.reshape(-1)[:, None], mode="drop")
+        tmap = tmap.reshape(b, h, w, num_classes)
+        total_cls += bce_logits(p[..., 4 * REG_MAX:], tmap).sum() / n_match
 
     loss = box_w * total_box + dfl_w * total_dfl + cls_w * total_cls
     return loss, {"box": total_box, "dfl": total_dfl, "cls": total_cls}
