@@ -89,10 +89,18 @@ def make_halo_dedup(mesh: Mesh, *, k_slots: int, radius_m: float,
         cx = jnp.concatenate([x, shift(x, 1), shift(x, -1)])
         cy = jnp.concatenate([y, shift(y, 1), shift(y, -1)])
         cc = jnp.concatenate([conf, shift(conf, 1), shift(conf, -1)])
+        # Global slot ids travel with the detections so exact-confidence
+        # ties resolve identically on every shard (lowest shard·K+slot id
+        # wins); without them each shard's own copy would win its local
+        # scan and both duplicates would survive.
+        own_id = (jax.lax.axis_index(axis_name).astype(jnp.int32) * k_slots
+                  + jnp.arange(k_slots, dtype=jnp.int32))
+        cid = jnp.concatenate([own_id, shift(own_id, 1), shift(own_id, -1)])
 
         # One global-order greedy scan over the combined 3K set; enough
         # rounds to classify every candidate.
-        idx, kconf, _ = dedup_device(cx, cy, cc, radius_m, 3 * k_slots)
+        idx, kconf, _ = dedup_device(cx, cy, cc, radius_m, 3 * k_slots,
+                                     tie_id=cid)
         picked = jnp.isfinite(kconf) & (kconf > -jnp.inf)
         keep = jnp.zeros((3 * k_slots,), bool).at[idx].max(picked,
                                                            mode="drop")

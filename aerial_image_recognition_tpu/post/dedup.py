@@ -102,12 +102,18 @@ def nms_geographic(detections: List[dict],
     return dedup_records(detections, distance_threshold)
 
 
-def dedup_device(x, y, conf, radius_m: float, max_keep: int):
+def dedup_device(x, y, conf, radius_m: float, max_keep: int, tie_id=None):
     """jnp fixed-slot dedup: local-meter coords [N], conf [N] (−inf for
     invalid slots) → (idx [max_keep], keep_conf [max_keep], valid mask).
 
     Greedy highest-confidence-first via lax.scan, exactly mirroring
     dedup_host but with static shapes for use inside jit/shard_map.
+
+    tie_id: optional int32 [N] — exact-confidence ties resolve to the LOWEST
+    id (lexicographic (−conf, id) order). Needed wherever multiple shards
+    run the same scan over differently-ordered views of one detection set
+    (parallel.stripes): a position-based tie-break would let each shard's
+    own copy win locally, keeping both duplicates.
     """
     import jax
     import jax.numpy as jnp
@@ -115,8 +121,11 @@ def dedup_device(x, y, conf, radius_m: float, max_keep: int):
     r2 = radius_m * radius_m
 
     def round_fn(avail, _):
-        i = jnp.argmax(avail)
-        c = avail[i]
+        c = jnp.max(avail)
+        if tie_id is None:
+            i = jnp.argmax(avail)
+        else:
+            i = jnp.argmin(jnp.where(avail == c, tie_id, jnp.int32(2**31 - 1)))
         d2 = (x - x[i]) ** 2 + (y - y[i]) ** 2
         nxt = jnp.where(d2 <= r2, -jnp.inf, avail)
         return nxt, (i, c)

@@ -90,3 +90,26 @@ def test_halo_dedup_matches_host_dedup():
     # counts equal and confidences identical ⇒ same kept set
     assert len(got_confs) == len(ref_confs)
     np.testing.assert_allclose(got_confs, ref_confs, rtol=1e-6)
+
+
+def test_halo_dedup_exact_tie_across_border():
+    """Equal-confidence duplicates straddling a stripe border must resolve
+    to ONE survivor (advisor finding: each shard's own copy used to win its
+    local scan, so both survived)."""
+    mesh = make_mesh()
+    stripes, p, (lo, hi) = split_aoi_stripes(BOUNDS, 8, halo_m=0.0)
+    from aerial_image_recognition_tpu.geo.tmerc import tm_forward, tm_inverse
+    uy = tm_forward(21.0, 52.2, p)[1]
+    lon, lat = [], []
+    # one tied pair 1 m apart across each interior border (7 pairs)
+    for edge_x in lo[1:]:
+        for dx in (-0.5, 0.5):
+            elon, elat = tm_inverse(edge_x + dx, uy, p)
+            lon.append(float(elon))
+            lat.append(float(elat))
+    conf = np.full(len(lon), 0.5, np.float32)     # exact ties
+    klon, klat, kconf = halo_dedup_host(
+        np.asarray(lon), np.asarray(lat), conf, BOUNDS, mesh,
+        radius_m=2.0, k_slots=64)
+    assert len(kconf) == len(lo) - 1, (
+        f"expected one survivor per tied pair, got {len(kconf)}")
