@@ -108,8 +108,15 @@ class ThreadedPrefetcher:
                 return
             yield item
 
-    def close(self):
+    def close(self, join_timeout: float = 5.0):
+        """Stop the producer thread. Call BEFORE tearing down the fetcher
+        underneath the generator, or the thread keeps fetching into a dead
+        pool (noisy shutdown, wasted requests at city scale). Best-effort
+        join: the thread is a daemon, so a fetch blocked in the network
+        can't wedge interpreter exit."""
         self._stop.set()
+        if join_timeout:
+            self._thread.join(timeout=join_timeout)
 
 
 def run_pipeline(batches: Iterable[TileBatch],
@@ -132,10 +139,18 @@ def run_pipeline(batches: Iterable[TileBatch],
     pending: List[Tuple[TileBatch, tuple]] = []
 
     def upload(b: TileBatch):
+        if not prefetch_device:
+            return (b.images, b.bounds)
         t0 = time.perf_counter()
         d = (jax.device_put(b.images), jax.device_put(b.bounds))
         stats["h2d_s"] += time.perf_counter() - t0
         return d
+
+    def drain(b: TileBatch, o: tuple):
+        on_result(b, o)                    # host readback syncs here
+        stats["batches"] += 1
+        stats["tiles"] += b.n_valid
+        stats["failed"] += len(b.failed_indices)
 
     nxt = next(it, None)
     d_nxt = upload(nxt) if nxt is not None else None
@@ -146,12 +161,14 @@ def run_pipeline(batches: Iterable[TileBatch],
         t0 = time.perf_counter()
         out = step(*d_cur)                 # async dispatch
         pending.append((cur, out))
-        if len(pending) > 1 or nxt is None:
-            for b, o in pending:
-                on_result(b, o)            # host readback syncs here
-                stats["batches"] += 1
-                stats["tiles"] += b.n_valid
-                stats["failed"] += len(b.failed_indices)
-            pending.clear()
+        # Drain only batches OLDER than the one just dispatched, so exactly
+        # one batch is always in flight behind the readback (draining the
+        # just-dispatched batch too would kill the overlap every other
+        # iteration — round-1 advisor finding).
+        while len(pending) > 1:
+            drain(*pending.pop(0))
         stats["compute_s"] += time.perf_counter() - t0
+    for b, o in pending:
+        drain(b, o)
+    pending.clear()
     return stats

@@ -25,7 +25,7 @@ from aerial_image_recognition_tpu.geo.tiles import generate_tiles
 from aerial_image_recognition_tpu.gio.geojson import read_polygons
 from aerial_image_recognition_tpu.gio.shapefile import read_polygons_shp
 from aerial_image_recognition_tpu.ingest.pipeline import (
-    ThreadedPrefetcher, assemble_batches,
+    ThreadedPrefetcher, assemble_batches, run_pipeline,
 )
 from aerial_image_recognition_tpu.pipeline.inference import build_detect_step
 from aerial_image_recognition_tpu.post.georef import detections_to_records
@@ -156,39 +156,41 @@ class CarDetector:
         processed = start_index
         since_ckpt = 0
         exc: Optional[BaseException] = None
+        prefetch: Optional[ThreadedPrefetcher] = None
+        ingest_stats: Dict = {}
+
+        def on_result(pbatch, pout):
+            nonlocal processed, since_ckpt
+            recs, covs = self._collect(pbatch, pout, step)
+            results.add(recs, covs)
+            done = pbatch.n_valid + len(pbatch.failed_indices)
+            processed += done
+            since_ckpt += done
+            if since_ckpt >= c.checkpoint_interval:
+                self._checkpoint(ckpt, results, processed,
+                                 len(tiles), fingerprint)
+                since_ckpt = 0
+            if self._interrupted:
+                raise KeyboardInterrupt
+
         try:
             with self.timers.phase("processing"):
                 gen = self._tile_stream(fetcher, tiles, start_index, step)
                 prefetch = ThreadedPrefetcher(gen, depth=c.prefetch_batches)
-                # one-batch pipelining: dispatch N+1 before reading back N,
-                # so H2D + TPU compute overlap with host postprocess
-                pending = None
-                it = iter(prefetch)
-                while True:
-                    batch = next(it, None)
-                    if batch is not None:
-                        out = step(batch.images, batch.bounds)  # async
-                    if pending is not None:
-                        pbatch, pout = pending
-                        recs, covs = self._collect(pbatch, pout, step)
-                        results.add(recs, covs)
-                        done = pbatch.n_valid + len(pbatch.failed_indices)
-                        processed += done
-                        since_ckpt += done
-                        if since_ckpt >= c.checkpoint_interval:
-                            self._checkpoint(ckpt, results, processed,
-                                             len(tiles), fingerprint)
-                            since_ckpt = 0
-                    if batch is None:
-                        break
-                    pending = (batch, out)
-                    if self._interrupted:
-                        raise KeyboardInterrupt
+                # one-batch pipelining (ingest.run_pipeline): dispatch N+1
+                # before reading back N, so fetch, H2D and TPU compute
+                # overlap with host postprocess
+                ingest_stats = run_pipeline(prefetch, step, on_result)
         except BaseException as e:        # checkpoint on ANY failure
             exc = e
         finally:
             signal.signal(signal.SIGINT, prev_sig)
             monitor.stop()
+            # stop the producer BEFORE tearing down the fetcher it reads
+            # from — otherwise the daemon thread keeps fetching into a
+            # closing pool (noisy interrupt at city scale)
+            if prefetch is not None:
+                prefetch.close()
             if exc is not None:
                 self._checkpoint(ckpt, results, processed, len(tiles),
                                  fingerprint)
@@ -213,6 +215,7 @@ class CarDetector:
                            "confidence_threshold": c.confidence_threshold,
                            "model": c.model_path},
                 "fetch_stats": stats,
+                "ingest_stats": ingest_stats,
                 "phase_timings": self.timers.report(),
                 "wall_clock_s": round(time.time() - t_start, 2),
             })

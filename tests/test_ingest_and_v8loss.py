@@ -78,6 +78,28 @@ def test_run_pipeline_overlap_and_stats():
     assert len(seen) == 3
 
 
+def test_run_pipeline_keeps_one_batch_in_flight():
+    """Readback of batch N must happen AFTER batch N+1 is dispatched, for
+    every N (round-1 advisor finding: the old drain condition flushed the
+    just-dispatched batch too, so overlap only happened every other
+    batch)."""
+    batches = list(assemble_batches(_tiles(16), batch_size=4, src_size=32))
+    events = []
+
+    def step(images, bounds):
+        events.append(("dispatch", int(np.asarray(images)[0, 0, 0, 0])))
+        return (images, bounds)
+
+    def on_result(b, o):
+        events.append(("readback", int(b.indices[0])))
+
+    run_pipeline(batches, step, on_result, prefetch_device=False)
+    assert events == [
+        ("dispatch", 0), ("dispatch", 4), ("readback", 0),
+        ("dispatch", 8), ("readback", 4),
+        ("dispatch", 12), ("readback", 8), ("readback", 12)]
+
+
 def test_yolov8_loss_finite_and_learns(rng):
     from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
     from aerial_image_recognition_tpu.ops.losses import yolov8_loss
