@@ -15,7 +15,78 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def bench_e2e():
+    """Full-chain throughput: host tile stream → ThreadedPrefetcher →
+    run_pipeline (H2D upload → fused step → per-batch host readback).
+
+    This is the honest version of beating the reference's serial
+    fetch-then-infer loop (_script/detector.py:117-155): it includes batch
+    assembly, host→device transfer and per-batch result readback, not just
+    the jitted step on device-resident data. Reports the h2d/compute split
+    so the tunnel-H2D artifact (axon H2D ≈ 1.6 GB/s vs real v5e PCIe) is
+    visible rather than hidden. Prints ONE JSON line.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aerial_image_recognition_tpu.fetch.xyz import TileImage
+    from aerial_image_recognition_tpu.ingest.pipeline import (
+        ThreadedPrefetcher, assemble_batches, run_pipeline)
+    from aerial_image_recognition_tpu.pipeline.inference import build_detect_step
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "16"))
+
+    cfg = DetectorConfig()
+    step = build_detect_step(cfg, batch=batch)
+
+    # Pool of distinct pre-decoded tiles (the fetch plane's decode output);
+    # distinct buffers so neither XLA nor the tunnel can dedup transfers.
+    rng = np.random.default_rng(0)
+    pool = [rng.integers(0, 255, (640, 640, 3), dtype=np.uint8)
+            for _ in range(32)]
+    n_tiles = batch * n_batches
+
+    def tile_iter():
+        for i in range(n_tiles):
+            yield i, TileImage(pool[i % len(pool)],
+                               (20.99, 52.21, 21.0, 52.22))
+
+    def on_result(b, out):
+        det, lon, lat = out
+        assert np.isfinite(float(lon.sum()))   # per-batch host readback
+
+    # Warmup: compile + first H2D (first device_put through the tunnel is
+    # far slower than steady state)
+    warm = list(assemble_batches(tile_iter(), batch, 640))[:2]
+    run_pipeline(warm, step, on_result)
+
+    t0 = time.perf_counter()
+    stats = run_pipeline(
+        ThreadedPrefetcher(
+            assemble_batches(tile_iter(), batch, 640), depth=4),
+        step, on_result)
+    wall = time.perf_counter() - t0
+
+    tiles_per_s = stats["tiles"] / wall
+    baseline = 2000.0
+    print(json.dumps({
+        "metric": "e2e_pipeline_640px_tiles_per_sec_per_chip",
+        "value": round(tiles_per_s, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_s / baseline, 4),
+        "h2d_s": round(stats["h2d_s"], 3),
+        "compute_s": round(stats["compute_s"], 3),
+        "wall_s": round(wall, 3),
+        "tiles": stats["tiles"],
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_E2E"):
+        return bench_e2e()
     import jax
     import jax.numpy as jnp
     import numpy as np
