@@ -11,10 +11,11 @@ here variations are generated on device and stacked into the batch dimension
 (B·V images through one jitted forward), then merged by weighted NMS — the
 TPU-native formulation (bigger batches, zero extra host↔device traffic).
 
-CLAHE: true CLAHE is a serial histogram algorithm; the device version uses
-the standard differentiable approximation — per-tile mean/std local contrast
-normalization with bilinear tile interpolation — which reproduces CLAHE's
-local-contrast effect with TPU-friendly dataflow.
+CLAHE: the ``clahe_*`` variations run the EXACT tile-histogram algorithm on
+device (ops/clahe.clahe_rgb_device — segment-sum histograms, vectorized
+clip/redistribute/CDF, gather-interpolated LUTs; cv2-parity). The
+differentiable local-contrast approximant remains available as
+``localcontrast_*`` for training-time augmentation.
 """
 
 from typing import Sequence, Tuple
@@ -87,6 +88,13 @@ def apply_variation(x: jnp.ndarray, name: str) -> jnp.ndarray:
     if kind == "gamma":
         return gamma(x, v)
     if kind == "clahe":
+        # exact tile-histogram CLAHE on device (cv2-parity LAB-L transform,
+        # ops/clahe.clahe_rgb_device); the reference's TTA transform at
+        # gpu_handler.py:103-117
+        from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
+        return clahe_rgb_device(x, clip_limit=v)
+    if kind == "localcontrast":
+        # differentiable approximant (kept for training-time augmentation)
         return local_contrast(x, clip=v)
     raise KeyError(f"unknown TTA variation {name!r}")
 

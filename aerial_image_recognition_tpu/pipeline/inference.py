@@ -111,7 +111,11 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                       src_size: Optional[int] = None,
                       crop_size: Optional[int] = None,
                       model_size: Optional[int] = None,
-                      donate: bool = True) -> DetectStep:
+                      donate: bool = False) -> DetectStep:
+    # donate defaults False: the uint8 image input can never alias the
+    # f32/int outputs, so donation frees nothing and XLA warns on every
+    # trace. (The cuDNN-allocator parity story is the readback-synced
+    # measurement + H2D overlap in ingest.run_pipeline, not donation.)
     bundle = bundle or create_model(
         cfg.model_path,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,

@@ -59,3 +59,50 @@ def test_clahe_nonsquare_and_odd_sizes(rng):
     img = rng.integers(0, 255, (50, 37), dtype=np.uint8)
     out = clahe_gray(img, clip_limit=2.0, grid=(8, 8))
     assert out.shape == (50, 37)
+
+
+def test_device_clahe_gray_matches_host_exactly(rng):
+    """clahe_gray_device must reproduce the host (cv2-parity) algorithm —
+    the round-1 device TTA path only had an approximant (VERDICT item 7)."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.clahe import clahe_gray_device
+
+    for shape, grid, clip in (((64, 64), (8, 8), 2.0),
+                              ((50, 37), (8, 8), 3.0),
+                              ((96, 96), (4, 4), 4.0)):
+        imgs = rng.integers(0, 255, (3,) + shape, dtype=np.uint8)
+        dev = np.asarray(clahe_gray_device(
+            jnp.asarray(imgs, jnp.int32), clip_limit=clip, grid=grid))
+        host = np.stack([clahe_gray(im, clip_limit=clip, grid=grid)
+                         for im in imgs]).astype(np.int32)
+        diff = np.abs(dev - host)
+        # identical algorithm; allow ±1 for f32-vs-f64 rounding razor edges
+        assert diff.max() <= 1, f"{shape}: max diff {diff.max()}"
+        assert (diff == 0).mean() > 0.995, f"{shape}: {(diff == 0).mean()}"
+
+
+def test_device_clahe_rgb_matches_host(rng):
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
+
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    dev = np.asarray(clahe_rgb_device(
+        jnp.asarray(imgs, jnp.float32) / 255.0, clip_limit=2.0))
+    dev_u8 = np.clip(np.round(dev * 255.0), 0, 255).astype(np.int32)
+    host = np.stack([clahe_rgb(im, clip_limit=2.0)
+                     for im in imgs]).astype(np.int32)
+    diff = np.abs(dev_u8 - host)
+    assert diff.max() <= 2, f"max diff {diff.max()}"
+    assert (diff <= 1).mean() > 0.999
+
+
+def test_tta_clahe_variation_is_exact_now(rng):
+    """The TTA 'clahe_*' variation routes to the exact device CLAHE."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.augment import apply_variation
+    from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
+
+    x = jnp.asarray(rng.integers(0, 255, (1, 32, 32, 3)), jnp.float32) / 255.0
+    out = apply_variation(x, "clahe_2.0")
+    want = clahe_rgb_device(x, clip_limit=2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want))
