@@ -122,7 +122,8 @@ class ThreadedPrefetcher:
 def run_pipeline(batches: Iterable[TileBatch],
                  step: Callable[[np.ndarray, np.ndarray], tuple],
                  on_result: Callable[[TileBatch, tuple], None],
-                 prefetch_device: bool = True) -> dict:
+                 prefetch_device: bool = True,
+                 depth: int = 1) -> dict:
     """Drive batches through a device step with H2D/compute overlap.
 
     ``step(images_u8, bounds)`` must be an async-dispatching jitted call;
@@ -130,6 +131,10 @@ def run_pipeline(batches: Iterable[TileBatch],
     readback (and therefore synchronization) happens — by the time result N
     is being read back, batch N+1's upload and compute are already in
     flight.
+
+    depth: how many dispatched-but-unread batches to keep in flight. 1 is
+    the classic double-buffer; raise it when per-call latency dominates
+    (e.g. remote-device links), at the cost of depth× batch HBM.
     """
     import jax
 
@@ -161,11 +166,10 @@ def run_pipeline(batches: Iterable[TileBatch],
         t0 = time.perf_counter()
         out = step(*d_cur)                 # async dispatch
         pending.append((cur, out))
-        # Drain only batches OLDER than the one just dispatched, so exactly
-        # one batch is always in flight behind the readback (draining the
-        # just-dispatched batch too would kill the overlap every other
-        # iteration — round-1 advisor finding).
-        while len(pending) > 1:
+        # Drain only batches OLDER than the newest `depth` in flight
+        # (draining the just-dispatched batch too would kill the overlap
+        # every other iteration — round-1 advisor finding).
+        while len(pending) > depth:
             drain(*pending.pop(0))
         stats["compute_s"] += time.perf_counter() - t0
     for b, o in pending:

@@ -15,6 +15,15 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def _enable_compile_cache():
+    """The env var above is ignored when sitecustomize already imported jax
+    (this image does); set the config explicitly like tests/conftest.py."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def bench_e2e():
     """Full-chain throughput: host tile stream → ThreadedPrefetcher →
     run_pipeline (H2D upload → fused step → per-batch host readback).
@@ -30,6 +39,8 @@ def bench_e2e():
     import jax.numpy as jnp
     import numpy as np
 
+    _enable_compile_cache()
+
     from aerial_image_recognition_tpu.fetch.xyz import TileImage
     from aerial_image_recognition_tpu.ingest.pipeline import (
         ThreadedPrefetcher, assemble_batches, run_pipeline)
@@ -38,6 +49,7 @@ def bench_e2e():
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     n_batches = int(os.environ.get("BENCH_E2E_BATCHES", "16"))
+    depth = int(os.environ.get("BENCH_E2E_DEPTH", "3"))
 
     cfg = DetectorConfig()
     step = build_detect_step(cfg, batch=batch)
@@ -67,7 +79,7 @@ def bench_e2e():
     stats = run_pipeline(
         ThreadedPrefetcher(
             assemble_batches(tile_iter(), batch, 640), depth=4),
-        step, on_result)
+        step, on_result, depth=depth)
     wall = time.perf_counter() - t0
 
     tiles_per_s = stats["tiles"] / wall
@@ -87,6 +99,7 @@ def bench_e2e():
 def main():
     if os.environ.get("BENCH_E2E"):
         return bench_e2e()
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
