@@ -63,10 +63,13 @@ class FakeWorld:
         half_w = self.car_size_m[1] / 2
         ppd_x = width / (east - west)
         ppd_y = height / (north - south)
-        for lon, lat, hd in self.cars:
-            if not (west - 1e-4 <= lon <= east + 1e-4
-                    and south - 1e-4 <= lat <= north + 1e-4):
-                continue
+        # vectorized prefilter: only iterate cars near this tile (the
+        # python loop over ALL cars per request dominated fetch throughput
+        # at city scale — 3000 cars × 10k tiles)
+        c = self.cars
+        near = ((c[:, 0] >= west - 1e-4) & (c[:, 0] <= east + 1e-4)
+                & (c[:, 1] >= south - 1e-4) & (c[:, 1] <= north + 1e-4))
+        for lon, lat, hd in c[near]:
             # draw an axis-aligned bright box (heading ignored for speed)
             dx = half_l * m2lon
             dy = half_w * m2lat

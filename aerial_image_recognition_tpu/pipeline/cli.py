@@ -84,6 +84,40 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub.add_parser("doctor", help="environment diagnostic "
                    "(check_gpu.py parity)")
 
+    pt = sub.add_parser("train", help="train a detector from COCO labels "
+                        "(01_train_tokyo.ipynb workflow)")
+    pt.add_argument("--coco", required=True, help="COCO instances json")
+    pt.add_argument("--images", required=True, help="image directory")
+    pt.add_argument("--model", default="yolov8_tokyo")
+    pt.add_argument("--epochs", type=int, default=300)
+    pt.add_argument("--imgsz", type=int, default=768)
+    pt.add_argument("--batch", type=int, default=8)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--n-train", type=int, default=80)
+    pt.add_argument("--bn-mode", default="frozen",
+                    choices=["batch", "frozen"])
+    pt.add_argument("--out", required=True, help="output checkpoint (.npz)")
+
+    pg = sub.add_parser("geotiff", help="sliding-window detection over a "
+                        "GeoTIFF (02_analyze_images workflow)")
+    pg.add_argument("path")
+    pg.add_argument("--model", default="yolov8_tokyo")
+    pg.add_argument("--params")
+    pg.add_argument("--window", type=int, default=1200)
+    pg.add_argument("--stride", type=int, default=600)
+    pg.add_argument("--confidence", type=float, default=0.4)
+    pg.add_argument("--out", help="output geojson")
+
+    pm = sub.add_parser("automask", help="automatic instance masks over a "
+                        "GeoTIFF (SAM2 workflow parity)")
+    pm.add_argument("path")
+    pm.add_argument("--params")
+    pm.add_argument("--window", type=int, default=256)
+    pm.add_argument("--min-area", type=int, default=20)
+    pm.add_argument("--stability", type=float, default=0.6)
+    pm.add_argument("--out-mask")
+    pm.add_argument("--out-polygons")
+
     args = parser.parse_args(argv)
 
     if args.command == "doctor":
@@ -110,6 +144,59 @@ def main(argv: Optional[List[str]] = None) -> int:
         os.environ["BENCH_BATCH"] = str(args.batch)
         import bench
         return bench.main() or 0
+
+    if args.command == "train":
+        import dataclasses
+        import os
+
+        import jax.numpy as jnp
+        from aerial_image_recognition_tpu.models.registry import (
+            create_model, save_params)
+        from aerial_image_recognition_tpu.pipeline.data import (
+            TOKYO_CLASS_REMAP, DetectionLoader, LoaderConfig, coco_to_yolo,
+            train_val_split)
+        from aerial_image_recognition_tpu.pipeline.train import fit
+
+        remap = TOKYO_CLASS_REMAP if "tokyo" in args.model else None
+        samples = coco_to_yolo(args.coco, class_remap=remap)
+        samples = [dataclasses.replace(
+            s, image_path=os.path.join(args.images,
+                                       os.path.basename(s.image_path)))
+            for s in samples]
+        train_s, val_s = train_val_split(samples, args.n_train)
+        lcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch)
+        vcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
+                            mosaic=0.0, mixup=0.0, hsv=0.0)
+        bundle = create_model(args.model, dtype=jnp.float32)
+        state = fit(bundle, DetectionLoader(train_s, lcfg),
+                    epochs=args.epochs, lr=args.lr,
+                    eval_loader=DetectionLoader(val_s, vcfg, train=False),
+                    eval_every=max(1, args.epochs // 10),
+                    bn_mode=args.bn_mode)
+        history = state.pop("history")
+        save_params({"params": state["params"],
+                     "batch_stats": state["batch_stats"]}, args.out)
+        print(json.dumps({"checkpoint": args.out, "final": history[-1]}))
+        return 0
+
+    if args.command == "geotiff":
+        from aerial_image_recognition_tpu.pipeline.rasters import detect_geotiff
+        recs = detect_geotiff(
+            args.path, window=args.window, stride=args.stride,
+            confidence=args.confidence, model=args.model,
+            params=args.params, output_geojson=args.out)
+        print(json.dumps({"detections": len(recs), "output": args.out}))
+        return 0
+
+    if args.command == "automask":
+        from aerial_image_recognition_tpu.pipeline.automask import (
+            automask_geotiff)
+        inst = automask_geotiff(
+            args.path, window=args.window, params=args.params,
+            min_area_px=args.min_area, stability_min=args.stability,
+            output_mask=args.out_mask, output_polygons=args.out_polygons)
+        print(json.dumps({"instances": len(inst)}))
+        return 0
 
     return 1
 

@@ -100,7 +100,9 @@ class CarDetector:
         return WMSFetcher(c.wms_url, c.wms_layer, srs=c.wms_srs,
                           size=c.wms_size, image_format=c.wms_format,
                           num_workers=c.num_workers,
-                          timeout=c.fetch_timeout, retries=c.fetch_retries)
+                          timeout=c.fetch_timeout, retries=c.fetch_retries,
+                          submit_spacing=float(
+                              c.extra.get("submit_spacing", 0.05)))
 
     # ------------------------------------------------------------ detect
 
@@ -168,7 +170,7 @@ class CarDetector:
             since_ckpt += done
             if since_ckpt >= c.checkpoint_interval:
                 self._checkpoint(ckpt, results, processed,
-                                 len(tiles), fingerprint)
+                                 len(tiles), fingerprint, tiles=tiles)
                 since_ckpt = 0
             if self._interrupted:
                 raise KeyboardInterrupt
@@ -193,7 +195,7 @@ class CarDetector:
                 prefetch.close()
             if exc is not None:
                 self._checkpoint(ckpt, results, processed, len(tiles),
-                                 fingerprint)
+                                 fingerprint, tiles=tiles)
                 self.events.emit("aborted", processed=processed,
                                  error=repr(exc))
                 if self._fetcher is None:
@@ -278,9 +280,21 @@ class CarDetector:
                 for i in range(batch.n_valid)]
         return kept, covs
 
-    def _checkpoint(self, ckpt, results, processed, total, fingerprint):
+    def _checkpoint(self, ckpt, results, processed, total, fingerprint,
+                    tiles=None):
         t0 = time.perf_counter()
-        results.remove_duplicates()
+        if tiles is not None and processed < len(tiles):
+            # frontier-aware compaction: destroying a suppressed record is
+            # only safe once nothing near it can still arrive — keeps the
+            # final detection set independent of WHERE checkpoints/interrupts
+            # land (results.compact docstring)
+            import numpy as np
+            rem = np.asarray(tiles[processed:], dtype=np.float64)
+            active = (float(rem[:, 0].min()), float(rem[:, 1].min()),
+                      float(rem[:, 2].max()), float(rem[:, 3].max()))
+            results.compact(active)
+        else:
+            results.compact(None)
         ckpt.save(CheckpointState(
             processed_count=processed, total_tiles=total,
             detections=results.detections,

@@ -47,6 +47,55 @@ class ResultsManager:
                                         self.duplicate_distance)
         return before - len(self.detections)
 
+    def compact(self, active_bounds=None) -> int:
+        """Bounded-memory periodic dedup that cannot change the final set.
+
+        Plain remove_duplicates() at arbitrary checkpoints is destructive in
+        a boundary-dependent way: a record suppressed NOW can lose its
+        suppressor LATER (a higher-confidence duplicate arriving from an
+        overlapping neighbor tile suppresses the suppressor, which should
+        resurrect the record) — so where the periodic dedups happen changes
+        the final output, and an interrupted+resumed scan differs from an
+        uninterrupted one. compact() destroys a suppressed record only when
+        its influence neighborhood is final: farther than a safety margin
+        from ``active_bounds`` (bbox of tiles not yet scanned). Suppressed
+        records near the scan frontier are retained (a few tile rows at
+        most), so memory stays bounded while the final global dedup is
+        boundary-independent. (The reference's periodic dedup at
+        _script/detector.py:209-219 has the boundary-dependent semantics;
+        this is the deterministic upgrade.)
+        """
+        if not self.detections or self.duplicate_distance <= 0:
+            return 0
+        import math
+
+        import numpy as np
+
+        from aerial_image_recognition_tpu.post.dedup import dedup_host
+
+        lon = np.array([r["lon"] for r in self.detections])
+        lat = np.array([r["lat"] for r in self.detections])
+        conf = np.array([r["confidence"] for r in self.detections])
+        keep = dedup_host(lon, lat, conf, self.duplicate_distance)
+        if active_bounds is None:
+            retained = keep
+        else:
+            w, s, e, n = active_bounds
+            # margin: new arrivals land inside the active region; one chain
+            # hop can reach radius beyond, use 3× radius for slack (deeper
+            # suppression chains need monotone-confidence links every
+            # ≤radius — negligible)
+            margin = 3.0 * self.duplicate_distance
+            m_lat = margin / 111319.9
+            m_lon = margin / (111319.9 * max(
+                0.1, math.cos(math.radians((s + n) / 2))))
+            near_active = ((lon >= w - m_lon) & (lon <= e + m_lon)
+                           & (lat >= s - m_lat) & (lat <= n + m_lat))
+            retained = keep | near_active
+        before = len(self.detections)
+        self.detections = [r for r, k in zip(self.detections, retained) if k]
+        return before - len(self.detections)
+
     def save_intermediate(self, tag: str = "intermediate") -> str:
         path = os.path.join(self.output_dir, f"{self.prefix}_{tag}.geojson")
         write_geojson(detections_to_feature_collection(self.detections), path)

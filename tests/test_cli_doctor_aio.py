@@ -2,6 +2,7 @@
 
 import asyncio
 import json
+import os
 
 import numpy as np
 import pytest
@@ -69,6 +70,25 @@ def test_cli_override_parsing_extras():
     from aerial_image_recognition_tpu.runtime.config import DetectorConfig
     cfg = DetectorConfig().merged(out)
     assert cfg.extra["multiscale"] == [0.85, 1.0, 1.15]
+
+
+def test_cli_new_subcommands(tmp_path):
+    """train/geotiff/automask subcommands parse; automask runs end-to-end
+    through the CLI on a tiny raster."""
+    from aerial_image_recognition_tpu.pipeline.cli import main
+    for cmd in ("train", "geotiff", "automask"):
+        with pytest.raises(SystemExit):
+            main([cmd, "--help"])
+
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[16:40, 16:48] = 200
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, img, (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
+    out_poly = str(tmp_path / "inst.geojson")
+    rc = main(["automask", p, "--window", "64", "--min-area", "5",
+               "--stability", "0.0", "--out-polygons", out_poly])
+    assert rc == 0 and os.path.exists(out_poly)
 
 
 def test_params_path_reaches_production_model(tmp_path):
