@@ -61,13 +61,13 @@ class WMSFetcher:
         body = self.http.get(self.url, params=self.getmap_params(bbox))
         if body is None:
             return None
-        try:
-            img = Image.open(io.BytesIO(body)).convert("RGB")
-        except Exception:
+        from aerial_image_recognition_tpu.gio.decode import decode_rgb
+        arr = decode_rgb(body)          # native libjpeg path, PIL fallback
+        if arr is None:
             self.http.failures.add(self.url, "DecodeError", 0)
             return None
-        return TileImage(pixels=np.asarray(img, dtype=np.uint8),
-                         bounds=tuple(bbox), meta={"source": "wms"})
+        return TileImage(pixels=arr, bounds=tuple(bbox),
+                         meta={"source": "wms"})
 
     def fetch_batch(self, bboxes: Sequence, progress=None,
                     retry_delays: Sequence[float] = (2.0, 4.0, 8.0)

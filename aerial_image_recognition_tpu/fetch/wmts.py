@@ -184,11 +184,8 @@ class WMTSFetcher:
             "TILEROW": str(row), "TILECOL": str(col)})
         if body is None:
             return None
-        try:
-            return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"),
-                              dtype=np.uint8)
-        except Exception:
-            return None
+        from aerial_image_recognition_tpu.gio.decode import decode_rgb
+        return decode_rgb(body)         # native libjpeg path, PIL fallback
 
     def fetch_neighborhood(self, lon: float, lat: float, matrix_id: str,
                            radius: int = 1) -> Optional[TileImage]:

@@ -77,10 +77,9 @@ class XYZFetcher:
         body = self.http.get(self._tile_url(x, y, z))
         if body is None:
             return None
-        try:
-            img = Image.open(io.BytesIO(body)).convert("RGB")
-            arr = np.asarray(img, dtype=np.uint8)
-        except Exception:
+        from aerial_image_recognition_tpu.gio.decode import decode_rgb
+        arr = decode_rgb(body)          # native libjpeg path, PIL fallback
+        if arr is None:
             self.http.failures.add(self._tile_url(x, y, z), "DecodeError", 0)
             return None
         self.cache.put(key, arr)

@@ -169,8 +169,12 @@ class DetectionLoader:
 
     @staticmethod
     def _decode_default(path: str) -> np.ndarray:
-        from PIL import Image
-        return np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+        from aerial_image_recognition_tpu.gio.decode import decode_rgb
+        with open(path, "rb") as f:
+            arr = decode_rgb(f.read())  # native libjpeg path, PIL fallback
+        if arr is None:
+            raise ValueError(f"undecodable image {path!r}")
+        return arr
 
     def _load_resized(self, sample: Sample, size: int):
         from PIL import Image

@@ -90,6 +90,76 @@ def dedup_grid_native(x: np.ndarray, y: np.ndarray, conf: np.ndarray,
     return keep.astype(bool)
 
 
+# ----------------------------------------------------- fastdecode (libjpeg)
+
+_DEC_SRC = os.path.join(_NATIVE_DIR, "fastdecode.cpp")
+_DEC_SO = os.path.join(_NATIVE_DIR, "libfastdecode.so")
+_dec_lib: Optional[ctypes.CDLL] = None
+_dec_failed = False
+
+
+def load_decode() -> Optional[ctypes.CDLL]:
+    """The fastdecode CDLL (libjpeg-backed), or None if unavailable
+    (no compiler / no libjpeg — callers fall back to PIL)."""
+    global _dec_lib, _dec_failed
+    if _dec_lib is not None or _dec_failed:
+        return _dec_lib
+    with _lock:
+        if _dec_lib is not None or _dec_failed:
+            return _dec_lib
+        if not os.path.exists(_DEC_SRC):
+            _dec_failed = True
+            return None
+        stale = (not os.path.exists(_DEC_SO)
+                 or os.path.getmtime(_DEC_SO) < os.path.getmtime(_DEC_SRC))
+        if stale:
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   _DEC_SRC, "-ljpeg", "-o", _DEC_SO + ".tmp"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               timeout=120)
+                os.replace(_DEC_SO + ".tmp", _DEC_SO)
+            except (OSError, subprocess.SubprocessError):
+                _dec_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_DEC_SO)
+        except OSError:
+            _dec_failed = True
+            return None
+        lib.jpeg_decode_rgb.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.jpeg_decode_rgb.restype = ctypes.c_int
+        _dec_lib = lib
+        return _dec_lib
+
+
+def decode_jpeg_native(data: bytes,
+                       scale_denom: int = 1) -> Optional[np.ndarray]:
+    """JPEG bytes → uint8 [H, W, 3] RGB via libjpeg, decoded at
+    1/scale_denom resolution. None if the native library is unavailable or
+    the stream is not decodable (caller falls back to PIL)."""
+    lib = load_decode()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.jpeg_decode_rgb(data, len(data), None, 0,
+                             ctypes.byref(w), ctypes.byref(h), scale_denom)
+    if rc != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    rc = lib.jpeg_decode_rgb(data, len(data),
+                             out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+                             ctypes.byref(w), ctypes.byref(h), scale_denom)
+    if rc != 0:
+        return None
+    return out
+
+
 def points_in_rings_native(points: np.ndarray, rings) -> Optional[np.ndarray]:
     lib = load()
     if lib is None:
