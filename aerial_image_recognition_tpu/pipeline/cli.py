@@ -108,6 +108,16 @@ def main(argv: Optional[List[str]] = None) -> int:
     pg.add_argument("--confidence", type=float, default=0.4)
     pg.add_argument("--out", help="output geojson")
 
+    pv = sub.add_parser("serve", help="HTTP detection service with dynamic "
+                        "batching")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8000)
+    pv.add_argument("--model", dest="model_path", default="yolov7_itcvd")
+    pv.add_argument("--params", dest="params_path")
+    pv.add_argument("--batch", type=int, default=64)
+    pv.add_argument("--confidence-threshold", type=float, default=0.3)
+    pv.add_argument("--max-wait-ms", type=float, default=10.0)
+
     pm = sub.add_parser("automask", help="automatic instance masks over a "
                         "GeoTIFF (SAM2 workflow parity)")
     pm.add_argument("path")
@@ -186,6 +196,25 @@ def main(argv: Optional[List[str]] = None) -> int:
             confidence=args.confidence, model=args.model,
             params=args.params, output_geojson=args.out)
         print(json.dumps({"detections": len(recs), "output": args.out}))
+        return 0
+
+    if args.command == "serve":
+        import time as _time
+
+        from aerial_image_recognition_tpu.pipeline.serve import DetectionServer
+        srv = DetectionServer(
+            {"model_path": args.model_path, "params_path": args.params_path,
+             "device_batch": args.batch,
+             "confidence_threshold": args.confidence_threshold},
+            host=args.host, port=args.port,
+            max_wait_ms=args.max_wait_ms).start()
+        print(json.dumps({"serving": srv.url,
+                          "model": srv.step.bundle.spec.name}))
+        try:
+            while True:
+                _time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
         return 0
 
     if args.command == "automask":

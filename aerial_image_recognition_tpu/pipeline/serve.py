@@ -1,0 +1,197 @@
+"""Detection serving: HTTP endpoint with dynamic batching.
+
+The reference has no serving story — every pipeline is a batch job. This
+module turns the fused detect step into a production service: concurrent
+HTTP requests are coalesced into fixed-shape device batches (padded, so one
+compiled program serves any load level), run through the jitted step, and
+split back per request. Batching is the TPU-native serving move: the chip
+is efficient at batch 64–128 and per-request dispatch would waste it.
+
+API:
+  POST /detect?west=&south=&east=&north=   body = JPEG/PNG bytes
+      → {"detections": [{"lon","lat","confidence","class"}], "count": N}
+  GET  /healthz → {"ok": true, "model": ..., "batch": ...}
+  GET  /stats   → request/batch counters and timings
+"""
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from aerial_image_recognition_tpu.post.georef import detections_to_records
+from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+
+@dataclass
+class _Pending:
+    image: np.ndarray
+    bounds: np.ndarray
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[dict]] = None
+    error: Optional[str] = None
+
+
+class DetectionServer:
+    def __init__(self, config: Optional[Dict] = None, *,
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_wait_ms: float = 10.0, detect_step=None):
+        self.config = DetectorConfig().merged(config or {})
+        if detect_step is None:
+            from aerial_image_recognition_tpu.pipeline.inference import (
+                build_detect_step)
+            detect_step = build_detect_step(self.config,
+                                            batch=self.config.device_batch)
+        self.step = detect_step
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "detections": 0,
+                      "errors": 0, "batch_fill_sum": 0, "compute_s": 0.0}
+        self._stats_lock = threading.Lock()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _reply(self, code: int, payload: Dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                path = urlparse(self.path).path
+                if path == "/healthz":
+                    self._reply(200, {
+                        "ok": True, "model": server.step.bundle.spec.name,
+                        "batch": server.step.batch,
+                        "input_size": server.step.input_size})
+                elif path == "/stats":
+                    with server._stats_lock:
+                        self._reply(200, dict(server.stats))
+                else:
+                    self._reply(404, {"error": "unknown path"})
+
+            def do_POST(self):
+                path = urlparse(self.path).path
+                if path != "/detect":
+                    self._reply(404, {"error": "unknown path"})
+                    return
+                q = parse_qs(urlparse(self.path).query)
+                try:
+                    bounds = np.asarray(
+                        [float(q[k][0]) for k in
+                         ("west", "south", "east", "north")], np.float32)
+                except (KeyError, ValueError):
+                    self._reply(400, {"error": "west/south/east/north "
+                                      "query params required"})
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n) if n else b""
+                from aerial_image_recognition_tpu.gio.decode import decode_rgb
+                img = decode_rgb(body)
+                if img is None:
+                    with server._stats_lock:
+                        server.stats["errors"] += 1
+                    self._reply(400, {"error": "undecodable image"})
+                    return
+                s = server.step.input_size
+                if img.shape[0] != s or img.shape[1] != s:
+                    with server._stats_lock:
+                        server.stats["errors"] += 1
+                    self._reply(400, {"error": f"expected {s}x{s} image, "
+                                      f"got {img.shape[1]}x{img.shape[0]}"})
+                    return
+                p = _Pending(image=img, bounds=bounds)
+                server._q.put(p)
+                p.event.wait(timeout=60.0)
+                if p.result is None:
+                    self._reply(503, {"error": p.error or "timed out"})
+                    return
+                with server._stats_lock:
+                    server.stats["requests"] += 1
+                    server.stats["detections"] += len(p.result)
+                self._reply(200, {"detections": p.result,
+                                  "count": len(p.result)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._serve_thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="serve-http")
+        self._batch_thread = threading.Thread(
+            target=self._batch_loop, daemon=True, name="serve-batch")
+
+    # ------------------------------------------------------------ lifecycle
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.port}"
+
+    def start(self):
+        self._serve_thread.start()
+        self._batch_thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    # ------------------------------------------------------------ batching
+
+    def _batch_loop(self):
+        step = self.step
+        b, s = step.batch, step.input_size
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            group = [first]
+            deadline = time.perf_counter() + self.max_wait_s
+            while len(group) < b:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    group.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            imgs = np.zeros((b, s, s, 3), np.uint8)
+            bnds = np.full((b, 4), (0, 0, 1e-6, 1e-6), np.float32)
+            for i, p in enumerate(group):
+                imgs[i] = p.image
+                bnds[i] = p.bounds
+            try:
+                t0 = time.perf_counter()
+                det, lon, lat = step(imgs, bnds)
+                recs = detections_to_records(
+                    det, bnds, model_size=step.model_size,
+                    class_names=step.bundle.spec.class_names)
+                dt = time.perf_counter() - t0
+            except Exception as e:                  # surface to all waiters
+                for p in group:
+                    p.error = repr(e)
+                    p.event.set()
+                continue
+            by_tile: Dict[int, List[dict]] = {}
+            for r in recs:
+                by_tile.setdefault(r.pop("tile_index"), []).append(r)
+            for i, p in enumerate(group):
+                p.result = by_tile.get(i, [])
+                p.event.set()
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["batch_fill_sum"] += len(group)
+                self.stats["compute_s"] += dt

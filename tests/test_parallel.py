@@ -92,6 +92,43 @@ def test_halo_dedup_matches_host_dedup():
     np.testing.assert_allclose(got_confs, ref_confs, rtol=1e-6)
 
 
+def test_spatial_partitioned_forward_matches_single_device():
+    """GSPMD spatial partitioning (image height sharded over the mesh, XLA
+    inserts the conv halo exchanges) must reproduce the unsharded forward —
+    the latency-parallel mode of parallel/spatial.py."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.parallel.spatial import (
+        make_spatial_detect)
+    from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    mesh = make_mesh()
+    cfg = DetectorConfig(dtype="float32", confidence_threshold=0.01)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32, seed=1)
+    size = 256                        # 8-way height shards of 32 px
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 255, (2, size, size, 3),
+                                    dtype=np.uint8))
+    bnds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]], np.float32),
+                    (2, 1))
+
+    ref_fn = jax.jit(make_detect_fn(bundle, cfg, model_size=size))
+    det_r, lon_r, lat_r = ref_fn(bundle.params, imgs, bnds)
+
+    sp_fn = make_spatial_detect(bundle, cfg, mesh, model_size=size)
+    det_s, lon_s, lat_s = sp_fn(bundle.params, imgs, bnds)
+
+    v_r = np.asarray(det_r.valid)
+    np.testing.assert_array_equal(v_r, np.asarray(det_s.valid))
+    np.testing.assert_allclose(np.asarray(det_r.boxes)[v_r],
+                               np.asarray(det_s.boxes)[np.asarray(det_s.valid)],
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(lon_r)[v_r],
+                               np.asarray(lon_s)[v_r], rtol=0, atol=1e-6)
+
+
 def test_halo_dedup_exact_tie_across_border():
     """Equal-confidence duplicates straddling a stripe border must resolve
     to ONE survivor (advisor finding: each shard's own copy used to win its
