@@ -42,7 +42,8 @@ def make_train_step(bundle: ModelBundle, tx,
                     mesh: Optional[Mesh] = None,
                     axis_name: str = "data",
                     loss_kwargs: Optional[Dict] = None,
-                    bn_mode: str = "frozen") -> Callable:
+                    bn_mode: str = "frozen",
+                    remat: bool = False) -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
 
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
@@ -63,12 +64,23 @@ def make_train_step(bundle: ModelBundle, tx,
     module = bundle.module
     spec = bundle.spec
 
+    def _forward_frozen(params, batch_stats, x):
+        return module.apply({"params": params, "batch_stats": batch_stats},
+                            x, train=False)
+
+    if remat:
+        # rematerialize the backbone on the backward pass: trades ~1 extra
+        # forward of FLOPs for dropping all intermediate conv activations
+        # from HBM — the lever for big device batches at 640 px (task-spec
+        # HBM guidance). Only the frozen-BN path is pure enough to wrap.
+        _forward_frozen = jax.checkpoint(_forward_frozen)
+
     def loss_fn(params, batch_stats, images_u8, targets):
         x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
                              dtype=jnp.bfloat16)
         variables = {"params": params, "batch_stats": batch_stats}
         if bn_mode == "frozen":
-            outs = module.apply(variables, x, train=False)
+            outs = _forward_frozen(params, batch_stats, x)
             updates = {"batch_stats": batch_stats}
         else:
             outs, updates = module.apply(variables, x, train=True,
@@ -108,8 +120,11 @@ def make_train_step(bundle: ModelBundle, tx,
 
 def init_train_state(bundle: ModelBundle, tx) -> Dict:
     variables = bundle.params
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    # copy: the jitted train step donates its state argument, and aliasing
+    # bundle.params here would delete the bundle's own buffers on step 1
+    params = jax.tree_util.tree_map(jnp.array, variables["params"])
+    batch_stats = jax.tree_util.tree_map(
+        jnp.array, variables.get("batch_stats", {}))
     return {"params": params, "batch_stats": batch_stats,
             "opt_state": tx.init(params), "step": 0}
 

@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from aerial_image_recognition_tpu.pipeline.data import (
@@ -141,3 +142,32 @@ def test_fit_overfits_tiny_batch(tmp_path, rng):
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_remat_train_step_matches_plain(rng):
+    """jax.checkpoint rematerialization must not change the math — same
+    loss and same first-step update as the plain step."""
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.train import (
+        make_optimizer, make_train_step, init_train_state)
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32, seed=2)
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    targets = np.full((2, 8, 5), -1.0, np.float32)
+    targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+    targets = jnp.asarray(targets)
+
+    outs = []
+    for remat in (False, True):
+        tx = make_optimizer(lr=1e-3)
+        step = make_train_step(bundle, tx, remat=remat)
+        # fresh buffers: the jitted step donates its state argument, and
+        # init_train_state aliases bundle.params across iterations
+        state = jax.tree_util.tree_map(jnp.array,
+                                       init_train_state(bundle, tx))
+        state, m = step(state, images, targets)
+        outs.append((float(m["loss"]),
+                     np.asarray(jax.tree_util.tree_leaves(
+                         state["params"])[0])))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=1e-4, atol=1e-6)
