@@ -46,6 +46,9 @@ class ELANTiny(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # x may be a LIST of feature maps (a deferred concat from the
+        # caller); ConvBN owns the lowering choice — see its docstring for
+        # the measured concat-vs-split trade-off.
         kw = dict(act=self.act, dtype=self.dtype)
         cv1 = ConvBN(self.c_mid, 1, name="cv1", **kw)(x, train)
         cv2 = ConvBN(self.c_mid, 1, name="cv2", **kw)(x, train)
@@ -53,7 +56,7 @@ class ELANTiny(nn.Module):
         cv4 = ConvBN(self.c_mid, 3, name="cv4", **kw)(cv3, train)
         # Concat order [-1,-2,-3,-4] of the yaml graph
         return ConvBN(self.c_out, 1, name="out", **kw)(
-            concat([cv4, cv3, cv2, cv1]), train)
+            [cv4, cv3, cv2, cv1], train)
 
 
 class ELAN(nn.Module):
@@ -80,7 +83,7 @@ class ELAN(nn.Module):
             taps = [ms[3], ms[2], ms[1], ms[0], cv2, cv1]
         else:
             taps = [ms[3], ms[1], cv2, cv1]
-        return ConvBN(self.c_out, 1, name="out", **kw)(concat(taps), train)
+        return ConvBN(self.c_out, 1, name="out", **kw)(taps, train)
 
 
 class MPConv(nn.Module):
@@ -95,7 +98,9 @@ class MPConv(nn.Module):
         a = ConvBN(self.c, 1, name="pool_cv", **kw)(maxpool2(x), train)
         b = ConvBN(self.c, 1, name="pre_cv", **kw)(x, train)
         b = ConvBN(self.c, 3, stride=2, name="down_cv", **kw)(b, train)
-        return concat([b, a])   # yaml order [-1, -3]
+        # deferred concat (yaml order [-1, -3]): the consumer is always an
+        # ELAN whose 1×1 stems accept the list (ConvBN chooses the lowering)
+        return [b, a]
 
 
 class SPPCSPC(nn.Module):
@@ -112,10 +117,10 @@ class SPPCSPC(nn.Module):
         cv3 = ConvBN(c, 3, name="cv3", **kw)(cv1, train)
         cv4 = ConvBN(c, 1, name="cv4", **kw)(cv3, train)
         pools = [cv4] + [MaxPoolSame(k)(cv4) for k in (5, 9, 13)]
-        y1 = ConvBN(c, 1, name="cv5", **kw)(concat(pools), train)
+        y1 = ConvBN(c, 1, name="cv5", **kw)(pools, train)
         y1 = ConvBN(c, 3, name="cv6", **kw)(y1, train)
         y2 = ConvBN(c, 1, name="cv2", **kw)(x, train)
-        return ConvBN(self.c_out, 1, name="cv7", **kw)(concat([y1, y2]), train)
+        return ConvBN(self.c_out, 1, name="cv7", **kw)([y1, y2], train)
 
 
 class SPPCSPCTiny(nn.Module):
@@ -133,8 +138,8 @@ class SPPCSPCTiny(nn.Module):
         p5 = MaxPoolSame(5)(cv2)
         p9 = MaxPoolSame(9)(p5)
         p13 = MaxPoolSame(13)(p9)
-        y = ConvBN(c, 1, name="cv3", **kw)(concat([p13, p9, p5, cv2]), train)
-        return ConvBN(self.c_out, 1, name="out", **kw)(concat([y, cv1]), train)
+        y = ConvBN(c, 1, name="cv3", **kw)([p13, p9, p5, cv2], train)
+        return ConvBN(self.c_out, 1, name="out", **kw)([y, cv1], train)
 
 
 class YOLOv7(nn.Module):
@@ -199,18 +204,18 @@ class YOLOv7(nn.Module):
         x = upsample2(x)
         r4 = ConvBN(128, 1, name="route4", **kw)(p4, train)
         f4 = ELANTiny(64, 128, name="head_elan4",
-                      dtype=self.dtype)(concat([r4, x]), train)
+                      dtype=self.dtype)([r4, x], train)
         x = ConvBN(64, 1, name="up3_cv", **kw)(f4, train)
         x = upsample2(x)
         r3 = ConvBN(64, 1, name="route3", **kw)(p3, train)
         f3 = ELANTiny(32, 64, name="head_elan3",
-                      dtype=self.dtype)(concat([r3, x]), train)
+                      dtype=self.dtype)([r3, x], train)
         x = ConvBN(128, 3, stride=2, name="down4_cv", **kw)(f3, train)
         f4b = ELANTiny(64, 128, name="pan_elan4",
-                       dtype=self.dtype)(concat([x, f4]), train)
+                       dtype=self.dtype)([x, f4], train)
         x = ConvBN(256, 3, stride=2, name="down5_cv", **kw)(f4b, train)
         f5b = ELANTiny(128, 256, name="pan_elan5",
-                       dtype=self.dtype)(concat([x, spp]), train)
+                       dtype=self.dtype)([x, spp], train)
         o3 = ConvBN(128, 3, name="out3", **kw)(f3, train)
         o4 = ConvBN(256, 3, name="out4", **kw)(f4b, train)
         o5 = ConvBN(512, 3, name="out5", **kw)(f5b, train)
@@ -236,23 +241,23 @@ class YOLOv7(nn.Module):
         x = upsample2(x)
         r4 = ConvBN(256, 1, name="route4", **kw)(p4, train)
         f4 = ELAN(256, 256, head=True, name="head_elan4",
-                  dtype=dt)(concat([r4, x]), train)
+                  dtype=dt)([r4, x], train)
         x = ConvBN(128, 1, name="up3_cv", **kw)(f4, train)
         x = upsample2(x)
         r3 = ConvBN(128, 1, name="route3", **kw)(p3, train)
         f3 = ELAN(128, 128, head=True, name="head_elan3",
-                  dtype=dt)(concat([r3, x]), train)
+                  dtype=dt)([r3, x], train)
         # PAN downsample transitions concat [conv-branch, pool-branch, skip]
         a = ConvBN(128, 1, name="pan4_pool_cv", **kw)(maxpool2(f3), train)
         b = ConvBN(128, 1, name="pan4_pre_cv", **kw)(f3, train)
         b = ConvBN(128, 3, stride=2, name="pan4_down_cv", **kw)(b, train)
         f4b = ELAN(256, 256, head=True, name="pan_elan4",
-                   dtype=dt)(concat([b, a, f4]), train)
+                   dtype=dt)([b, a, f4], train)
         a = ConvBN(256, 1, name="pan5_pool_cv", **kw)(maxpool2(f4b), train)
         b = ConvBN(256, 1, name="pan5_pre_cv", **kw)(f4b, train)
         b = ConvBN(256, 3, stride=2, name="pan5_down_cv", **kw)(b, train)
         f5b = ELAN(512, 512, head=True, name="pan_elan5",
-                   dtype=dt)(concat([b, a, spp]), train)
+                   dtype=dt)([b, a, spp], train)
         # RepConv deploy form = single fused 3×3 conv (+bias) + SiLU.
         o3 = ConvBN(256, 3, use_bn=False, name="rep3", **kw)(f3, train)
         o4 = ConvBN(512, 3, use_bn=False, name="rep4", **kw)(f4b, train)

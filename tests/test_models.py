@@ -191,3 +191,24 @@ def test_yolov7_s2d_stem_shapes():
         (1, S // 32, S // 32, 18)]
     # stem kernel consumes 12 channels after the 2×2 fold
     assert params["params"]["stem0"]["conv"]["kernel"].shape[2] == 12
+
+
+def test_convbn_split_lowering_matches_concat(rng):
+    """ConvBN's SPLIT_LISTS lowering must be numerically equivalent to the
+    default concat lowering (same params, same outputs) — it's a pure
+    scheduling experiment knob."""
+    from aerial_image_recognition_tpu.models.layers import ConvBN
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32, seed=5)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8),
+                    jnp.float32) / 255.0
+    assert ConvBN.SPLIT_LISTS is False
+    ref = bundle.raw_apply(bundle.params, x)
+    try:
+        ConvBN.SPLIT_LISTS = True
+        alt = bundle.raw_apply(bundle.params, x)
+    finally:
+        ConvBN.SPLIT_LISTS = False
+    for a, b in zip(ref, alt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
