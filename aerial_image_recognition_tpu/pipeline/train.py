@@ -133,26 +133,47 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         lr: float = 1e-4, mesh: Optional[Mesh] = None,
         eval_loader=None, eval_every: int = 1,
         conf_threshold: float = 0.25, log_fn=print,
-        bn_mode: str = "frozen",
+        bn_mode: str = "frozen", remat: bool = False,
+        ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
         loss_kwargs: Optional[Dict] = None) -> Dict:
     """Train a detector: notebook-workflow parity
     (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
     loader config) with in-framework mAP validation (cell 22).
 
+    ckpt_dir: orbax train-state checkpointing — saves every ckpt_every
+    epochs and RESUMES from the latest epoch found there, so multi-session
+    training continues exactly (runtime/train_ckpt.py).
+
     Returns the final state dict ({'params','batch_stats',...}); pass
     {'params': ..., 'batch_stats': ...} to inference functions or
     models.registry.save_params to persist.
     """
+    import os
+
     import numpy as np
 
     tx = make_optimizer(lr=lr)
     step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
-                              loss_kwargs=loss_kwargs)
+                              remat=remat, loss_kwargs=loss_kwargs)
     state = init_train_state(bundle, tx)
+    start_epoch = 0
+    if ckpt_dir:
+        from aerial_image_recognition_tpu.runtime.train_ckpt import (
+            load_train_state)
+        done = sorted(int(d.split("_")[-1])
+                      for d in os.listdir(ckpt_dir)
+                      if d.startswith("epoch_")) if os.path.isdir(
+                          ckpt_dir) else []
+        if done:
+            start_epoch = done[-1] + 1
+            state = load_train_state(
+                os.path.join(ckpt_dir, f"epoch_{done[-1]}"), state)
+            log_fn(f"resumed from epoch {done[-1]} "
+                   f"(step {state['step']})")
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
     history = []
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         losses = []
         for images, targets in loader.epoch(epoch):
             if mesh is not None:
@@ -169,6 +190,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         history.append(row)
         log_fn(f"epoch {epoch}: " + ", ".join(
             f"{k}={v:.4f}" for k, v in row.items() if k != "epoch"))
+        if ckpt_dir and (epoch + 1) % ckpt_every == 0:
+            from aerial_image_recognition_tpu.runtime.train_ckpt import (
+                save_train_state)
+            save_train_state(state, os.path.join(ckpt_dir,
+                                                 f"epoch_{epoch}"))
     state["history"] = history
     return state
 

@@ -45,3 +45,35 @@ def test_tracer_noop_and_annotation():
         with Tracer.annotate("region"):
             x = jnp.ones((4,)) + 1
     assert float(x.sum()) == 8.0
+
+
+def test_fit_resumes_from_ckpt_dir(tmp_path, rng):
+    """fit(ckpt_dir=...) saves per-epoch orbax state and resumes exactly:
+    a second fit() call with more epochs continues from the saved epoch."""
+    import jax
+    from aerial_image_recognition_tpu.pipeline.train import fit
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    loader = OneBatchLoader()
+    ck = str(tmp_path / "ck")
+    logs = []
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    s1 = fit(bundle, loader, epochs=2, ckpt_dir=ck, log_fn=logs.append)
+    assert int(s1["step"]) == 2
+    assert sorted(os.listdir(ck)) == ["epoch_0", "epoch_1"]
+
+    bundle2 = create_model("yolov7_itcvd", dtype=jnp.float32, seed=9)
+    logs2 = []
+    s2 = fit(bundle2, loader, epochs=4, ckpt_dir=ck, log_fn=logs2.append)
+    assert any("resumed from epoch 1" in m for m in logs2)
+    assert int(s2["step"]) == 4                      # 2 saved + 2 new
+    assert len(s2["history"]) == 2                   # only epochs 2..3 ran
