@@ -42,3 +42,25 @@ def test_pallas_kernel_empty_input(rng):
                       max_det=16, pre_topk=128, use_pallas=True)
     assert int(det.valid.sum()) == 0
     assert int((det.classes == -1).sum()) == 2 * 16
+
+
+def test_grouped_nms_odd_batches(rng):
+    """Auto-grouping must handle batch sizes with no large divisor (B=6 →
+    group 2, B=7 → group 1) and agree with the scan path."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+
+    for b in (6, 7):
+        boxes = rng.uniform(0, 600, (b, 64, 4)).astype(np.float32)
+        boxes[..., 2:] = rng.uniform(5, 40, (b, 64, 2))
+        scores = rng.uniform(0, 1, (b, 64, 1)).astype(np.float32)
+        ref = batched_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                          num_classes=1, conf_threshold=0.3, max_det=16,
+                          pre_topk=64, use_pallas=False)
+        got = batched_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                          num_classes=1, conf_threshold=0.3, max_det=16,
+                          pre_topk=64, use_pallas=True)
+        np.testing.assert_array_equal(np.asarray(ref.valid),
+                                      np.asarray(got.valid))
+        np.testing.assert_allclose(
+            np.asarray(ref.scores), np.asarray(got.scores), rtol=1e-6)
