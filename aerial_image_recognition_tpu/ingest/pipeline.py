@@ -142,12 +142,20 @@ def run_pipeline(batches: Iterable[TileBatch],
              "h2d_s": 0.0, "compute_s": 0.0}
     it = iter(batches)
     pending: List[Tuple[TileBatch, tuple]] = []
+    # data-parallel steps advertise per-input NamedShardings so the upload
+    # lands pre-sharded on every chip (one H2D slice per device, no
+    # reshard-on-dispatch)
+    shardings = getattr(step, "input_shardings", None)
 
     def upload(b: TileBatch):
         if not prefetch_device:
             return (b.images, b.bounds)
         t0 = time.perf_counter()
-        d = (jax.device_put(b.images), jax.device_put(b.bounds))
+        if shardings is not None:
+            d = (jax.device_put(b.images, shardings[0]),
+                 jax.device_put(b.bounds, shardings[1]))
+        else:
+            d = (jax.device_put(b.images), jax.device_put(b.bounds))
         stats["h2d_s"] += time.perf_counter() - t0
         return d
 

@@ -23,6 +23,18 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs), (axis_name,))
 
 
+def mesh_from_flag(dp) -> Optional[Mesh]:
+    """Config-level data-parallel knob → mesh (or None when off).
+
+    ``True`` uses every visible device; an int limits the mesh size. Shared
+    by CarDetector and DetectionServer so `data_parallel: true` means the
+    same thing everywhere.
+    """
+    if not dp:
+        return None
+    return make_mesh(None if isinstance(dp, bool) else int(dp))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard dim 0 (the tile batch) across the mesh."""
     return NamedSharding(mesh, P(axis_name))

@@ -52,6 +52,9 @@ def _add_common(p: argparse.ArgumentParser):
                    help="emit hex-density heatmap with this hex size (m)")
     p.add_argument("--enhance-shadows", dest="enhance_shadows",
                    action="store_true", default=None)
+    p.add_argument("--data-parallel", dest="data_parallel", nargs="?",
+                   const=True, type=int, default=None, metavar="N",
+                   help="shard the device batch over all (or N) chips")
 
 
 def _overrides(args) -> Dict:
@@ -117,6 +120,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pv.add_argument("--batch", type=int, default=64)
     pv.add_argument("--confidence-threshold", type=float, default=0.3)
     pv.add_argument("--max-wait-ms", type=float, default=10.0)
+    pv.add_argument("--data-parallel", dest="data_parallel", nargs="?",
+                    const=True, type=int, default=None, metavar="N",
+                    help="shard the serving batch over all (or N) chips")
 
     pm = sub.add_parser("automask", help="automatic instance masks over a "
                         "GeoTIFF (SAM2 workflow parity)")
@@ -205,7 +211,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         srv = DetectionServer(
             {"model_path": args.model_path, "params_path": args.params_path,
              "device_batch": args.batch,
-             "confidence_threshold": args.confidence_threshold},
+             "confidence_threshold": args.confidence_threshold,
+             "data_parallel": args.data_parallel},
             host=args.host, port=args.port,
             max_wait_ms=args.max_wait_ms).start()
         print(json.dumps({"serving": srv.url,

@@ -147,7 +147,8 @@ class CarDetector:
         fetcher = self._make_fetcher(center_lat=(bounds[1] + bounds[3]) / 2)
         step = self._detect_step or build_detect_step(
             c, batch=c.device_batch,
-            src_size=self._src_size(fetcher, bounds))
+            src_size=self._src_size(fetcher, bounds),
+            mesh=self._make_mesh())
 
         monitor = DeviceMonitor(interval=c.monitor_interval,
                                 event_log=self.events, print_line=False)
@@ -232,6 +233,17 @@ class CarDetector:
                 "timings": self.timers.report()}
 
     # ---------------------------------------------------------- helpers
+
+    def _make_mesh(self):
+        """Data-parallel inference mesh when configured.
+
+        ``data_parallel: True`` shards the device batch over every visible
+        chip; an int limits the mesh to that many devices. The reference is
+        pinned to one GPU (_script/gpu_handler.py:42) — this is the rebuild's
+        primary scale-out axis (SURVEY §2.3).
+        """
+        from aerial_image_recognition_tpu.parallel.mesh import mesh_from_flag
+        return mesh_from_flag(self.config.extra.get("data_parallel"))
 
     def _src_size(self, fetcher, bounds) -> int:
         if isinstance(fetcher, XYZFetcher):

@@ -28,6 +28,9 @@ class DetectStep:
     batch: int
     input_size: int          # source pixels per tile edge entering the step
     model_size: int = 640    # network input edge (pixel frame of det.boxes)
+    # when data-parallel: NamedShardings for (images, bounds) so the ingest
+    # plane can device_put straight into the sharded layout (one H2D per chip)
+    input_shardings: Optional[tuple] = None
 
     def __call__(self, images_u8, bounds):
         return self.fn(self.bundle.params, images_u8, bounds)
@@ -111,7 +114,20 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                       src_size: Optional[int] = None,
                       crop_size: Optional[int] = None,
                       model_size: Optional[int] = None,
-                      donate: bool = False) -> DetectStep:
+                      donate: bool = False,
+                      mesh=None, mesh_axis: str = "data") -> DetectStep:
+    """Single-device by default; pass a `jax.sharding.Mesh` for data-parallel
+    inference — the batch dim is sharded over the mesh via shard_map (each
+    chip runs the full per-tile program, including the Pallas NMS kernel,
+    on its batch shard; no collectives — detection is embarrassingly
+    parallel over tiles). This is the production form of SURVEY §2.3's
+    primary parallelism; the reference is hard-wired to one GPU
+    (_script/gpu_handler.py:42, device_id 0).
+
+    shard_map (not jit-with-in_shardings) is deliberate: the NMS tail is a
+    Pallas custom call, opaque to GSPMD's propagation, so explicit per-shard
+    execution is the only layout XLA can't silently replicate.
+    """
     # donate defaults False: the uint8 image input can never alias the
     # f32/int outputs, so donation frees nothing and XLA warns on every
     # trace. (The cuDNN-allocator parity story is the readback-synced
@@ -122,9 +138,34 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         params_path=cfg.params_path)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,
                             crop_size=crop_size, model_size=model_size)
-    fn = jax.jit(detect, donate_argnums=(1,) if donate else ())
-    step = DetectStep(bundle=bundle, fn=fn, batch=batch or cfg.device_batch,
-                      input_size=src_size or bundle.spec.input_size)
+    eff_batch = batch or cfg.device_batch
+    input_shardings = None
+    if mesh is None:
+        fn = jax.jit(detect, donate_argnums=(1,) if donate else ())
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        n = mesh.shape[mesh_axis]
+        if eff_batch % n:
+            raise ValueError(
+                f"device_batch {eff_batch} must divide evenly over the "
+                f"{n}-device '{mesh_axis}' mesh axis (set device_batch to a "
+                f"multiple of {n})")
+        # check_vma=False: the body is collective-free (embarrassingly
+        # parallel over tiles) and the Pallas NMS custom call doesn't carry
+        # the varying-mesh-axes metadata the checker wants on TPU.
+        fn = jax.jit(jax.shard_map(
+            detect, mesh=mesh,
+            in_specs=(P(), P(mesh_axis), P(mesh_axis)),
+            out_specs=P(mesh_axis), check_vma=False))
+        import dataclasses
+        bundle = dataclasses.replace(
+            bundle, params=jax.device_put(bundle.params,
+                                          NamedSharding(mesh, P())))
+        bsh = NamedSharding(mesh, P(mesh_axis))
+        input_shardings = (bsh, bsh)
+    step = DetectStep(bundle=bundle, fn=fn, batch=eff_batch,
+                      input_size=src_size or bundle.spec.input_size,
+                      input_shardings=input_shardings)
     step.model_size = model_size or bundle.spec.input_size
     return step
 

@@ -44,10 +44,13 @@ class DetectionServer:
                  max_wait_ms: float = 10.0, detect_step=None):
         self.config = DetectorConfig().merged(config or {})
         if detect_step is None:
+            from aerial_image_recognition_tpu.parallel.mesh import (
+                mesh_from_flag)
             from aerial_image_recognition_tpu.pipeline.inference import (
                 build_detect_step)
-            detect_step = build_detect_step(self.config,
-                                            batch=self.config.device_batch)
+            detect_step = build_detect_step(
+                self.config, batch=self.config.device_batch,
+                mesh=mesh_from_flag(self.config.extra.get("data_parallel")))
         self.step = detect_step
         self.max_wait_s = max_wait_ms / 1000.0
         self._q: "queue.Queue[_Pending]" = queue.Queue()

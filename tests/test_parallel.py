@@ -150,3 +150,92 @@ def test_halo_dedup_exact_tie_across_border():
         radius_m=2.0, k_slots=64)
     assert len(kconf) == len(lo) - 1, (
         f"expected one survivor per tied pair, got {len(kconf)}")
+
+
+def test_dp_detect_step_matches_single_device():
+    """Production data-parallel inference (build_detect_step(mesh=...) —
+    shard_map over the batch, params replicated) must reproduce the
+    single-device step exactly: detection is embarrassingly parallel over
+    tiles, so DP introduces no numerical seam at all."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    mesh = make_mesh()
+    cfg = DetectorConfig(dtype="float32", confidence_threshold=0.003)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32, seed=2)
+    size, batch = 96, 8
+
+    rng = np.random.default_rng(7)
+    imgs = rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8)
+    bnds = np.tile(np.asarray([[20.99, 52.21, 21.0, 52.22]], np.float32),
+                   (batch, 1))
+
+    ref = build_detect_step(cfg, batch=batch, bundle=bundle, model_size=size)
+    det_r, lon_r, lat_r = ref(imgs, bnds)
+    # the prior-bias init puts fresh-model confidences near 0.007 — the
+    # 0.003 threshold keeps real detections flowing so the comparisons
+    # below are not vacuously empty
+    assert int(np.asarray(det_r.valid).sum()) > 0
+
+    dp = build_detect_step(cfg, batch=batch, bundle=bundle, model_size=size,
+                           mesh=mesh)
+    assert dp.input_shardings is not None
+    det_d, lon_d, lat_d = dp(imgs, bnds)
+
+    np.testing.assert_array_equal(np.asarray(det_r.valid),
+                                  np.asarray(det_d.valid))
+    np.testing.assert_allclose(np.asarray(det_r.boxes),
+                               np.asarray(det_d.boxes), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lon_r), np.asarray(lon_d),
+                               rtol=0, atol=1e-7)
+
+
+def test_dp_detect_step_rejects_ragged_batch():
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    with pytest.raises(ValueError, match="mesh"):
+        build_detect_step(DetectorConfig(), batch=6, mesh=make_mesh())
+
+
+def test_dp_step_through_run_pipeline():
+    """The ingest plane must honor the DP step's input shardings (pre-sharded
+    device_put) and produce the same records as the unsharded path."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.fetch.xyz import TileImage
+    from aerial_image_recognition_tpu.ingest.pipeline import (
+        assemble_batches, run_pipeline)
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    mesh = make_mesh()
+    cfg = DetectorConfig(dtype="float32", confidence_threshold=0.003)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32, seed=2)
+    size, batch = 96, 8
+    step = build_detect_step(cfg, batch=batch, bundle=bundle,
+                             model_size=size, mesh=mesh)
+
+    rng = np.random.default_rng(11)
+    tiles = [(i, TileImage(
+        pixels=rng.integers(0, 255, (size, size, 3), dtype=np.uint8),
+        bounds=(20.99, 52.21, 21.0, 52.22))) for i in range(12)]
+
+    got = []
+    stats = run_pipeline(
+        assemble_batches(iter(tiles), batch_size=batch, src_size=size),
+        step, lambda b, o: got.append((b, jax.tree.map(np.asarray, o))))
+    assert stats["batches"] == 2 and stats["tiles"] == 12
+    # padded tail rows must be invalid or at degenerate bounds — just check
+    # shapes and that per-tile outputs match the unsharded step on batch 0
+    ref = build_detect_step(cfg, batch=batch, bundle=bundle, model_size=size)
+    b0 = got[0][0]
+    det_r, lon_r, lat_r = ref(b0.images, b0.bounds)
+    np.testing.assert_array_equal(np.asarray(det_r.valid), got[0][1][0].valid)
+    np.testing.assert_allclose(np.asarray(lon_r), got[0][1][1],
+                               rtol=0, atol=1e-7)
