@@ -197,3 +197,40 @@ def test_dedup_host_matches_bruteforce(rng):
             kept_idx.append(i)
             expect[i] = True
     np.testing.assert_array_equal(keep, expect)
+
+
+def test_full_scan_data_parallel_matches_single_device(
+        tmp_path, server, monkeypatch):
+    """Hermetic multi-chip city scan: the production data-parallel step
+    (build_detect_step(mesh=...) over the 8-CPU virtual mesh) must produce
+    the same final detection set as the single-device scan."""
+    from aerial_image_recognition_tpu.parallel.mesh import make_mesh
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+
+    _patch_window(monkeypatch)
+    cfg = DetectorConfig(confidence_threshold=0.003)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+
+    def scan(step, sub):
+        det, base = _detector(tmp_path.joinpath(sub), server, step)
+        out = det.detect(force_restart=True)
+        doc = read_geojson(os.path.join(
+            str(tmp_path / sub), "output", "detections_results.geojson"))
+        return out, doc
+
+    single = build_detect_step(cfg, batch=8, bundle=bundle, src_size=96,
+                               model_size=64)
+    dp = build_detect_step(cfg, batch=8, bundle=bundle, src_size=96,
+                           model_size=64, mesh=make_mesh())
+    out_s, doc_s = scan(single, "single")
+    out_d, doc_d = scan(dp, "dp")
+    assert out_d["tiles"] == out_s["tiles"]
+    assert len(doc_d["features"]) == len(doc_s["features"]) > 0
+    pts_s = sorted((round(f["geometry"]["coordinates"][0], 7),
+                    round(f["geometry"]["coordinates"][1], 7))
+                   for f in doc_s["features"])
+    pts_d = sorted((round(f["geometry"]["coordinates"][0], 7),
+                    round(f["geometry"]["coordinates"][1], 7))
+                   for f in doc_d["features"])
+    assert pts_s == pts_d
