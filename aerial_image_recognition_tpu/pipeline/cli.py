@@ -99,6 +99,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--n-train", type=int, default=80)
     pt.add_argument("--bn-mode", default="frozen",
                     choices=["batch", "frozen"])
+    pt.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine", "linear"])
+    pt.add_argument("--warmup-epochs", type=float, default=0.0)
+    pt.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                    help="EMA weight averaging, e.g. 0.9999 "
+                    "(ultralytics recipe)")
     pt.add_argument("--out", required=True, help="output checkpoint (.npz)")
 
     pg = sub.add_parser("geotiff", help="sliding-window detection over a "
@@ -188,9 +194,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     epochs=args.epochs, lr=args.lr,
                     eval_loader=DetectionLoader(val_s, vcfg, train=False),
                     eval_every=max(1, args.epochs // 10),
-                    bn_mode=args.bn_mode)
+                    bn_mode=args.bn_mode, lr_schedule=args.lr_schedule,
+                    warmup_epochs=args.warmup_epochs, ema_decay=args.ema)
         history = state.pop("history")
-        save_params({"params": state["params"],
+        save_params({"params": state.get("ema_params", state["params"]),
                      "batch_stats": state["batch_stats"]}, args.out)
         print(json.dumps({"checkpoint": args.out, "final": history[-1]}))
         return 0

@@ -102,7 +102,9 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             conf_threshold=cfg.confidence_threshold,
             iou_threshold=cfg.nms_iou_threshold,
             max_det=cfg.max_detections_per_tile,
-            class_aware=True)
+            pre_topk=int(cfg.extra.get("nms_pre_topk", 512)),
+            class_aware=True,
+            preselect=cfg.extra.get("nms_preselect", "exact"))
         lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
         return det, lon, lat
 

@@ -30,8 +30,34 @@ class TrainState:
     step: int = 0
 
 
-def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4):
-    # lr0=1e-4 matches the notebook's training config (01_train_tokyo cell 14)
+def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4,
+                   total_steps: Optional[int] = None,
+                   warmup_steps: int = 0, schedule: str = "constant",
+                   final_lr_frac: float = 0.01):
+    """lr0=1e-4 matches the notebook's training config (01_train_tokyo
+    cell 14). schedule: 'constant' (round-1 behavior), 'cosine' or 'linear'
+    — the ultralytics recipe the reference trained with is a 3-epoch warmup
+    into a decay toward lr·lrf (lrf=0.01 default); both decays need
+    total_steps."""
+    if schedule != "constant":
+        if not total_steps:
+            raise ValueError(f"schedule={schedule!r} requires total_steps")
+        end = lr * final_lr_frac
+        if schedule == "cosine":
+            sched = optax.warmup_cosine_decay_schedule(
+                init_value=0.0 if warmup_steps else lr, peak_value=lr,
+                warmup_steps=warmup_steps,
+                decay_steps=total_steps, end_value=end)
+        elif schedule == "linear":
+            sched = optax.join_schedules(
+                [optax.linear_schedule(0.0 if warmup_steps else lr, lr,
+                                       max(warmup_steps, 1)),
+                 optax.linear_schedule(
+                     lr, end, max(total_steps - warmup_steps, 1))],
+                [warmup_steps])
+        else:
+            raise ValueError(f"unknown schedule {schedule!r}")
+        lr = sched
     return optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.adamw(lr, weight_decay=weight_decay),
@@ -43,7 +69,8 @@ def make_train_step(bundle: ModelBundle, tx,
                     axis_name: str = "data",
                     loss_kwargs: Optional[Dict] = None,
                     bn_mode: str = "frozen",
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    ema_decay: float = 0.0) -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
 
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
@@ -105,8 +132,18 @@ def make_train_step(bundle: ModelBundle, tx,
         updates, new_opt = tx.update(grads, state["opt_state"], params)
         new_params = optax.apply_updates(params, updates)
         metrics = dict(metrics, loss=loss)
-        return {"params": new_params, "batch_stats": new_bs,
-                "opt_state": new_opt, "step": state["step"] + 1}, metrics
+        new_step = state["step"] + 1
+        out = {"params": new_params, "batch_stats": new_bs,
+               "opt_state": new_opt, "step": new_step}
+        if ema_decay > 0.0:
+            # the ultralytics EMA ramp (the recipe the reference's models
+            # were produced with): effective decay grows d·(1−e^(−t/2000)),
+            # so early steps track the raw weights and late steps smooth
+            d = ema_decay * (1.0 - jnp.exp(-new_step / 2000.0))
+            out["ema_params"] = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state["ema_params"], new_params)
+        return out, metrics
 
     if mesh is not None:
         repl = NamedSharding(mesh, P())
@@ -118,15 +155,20 @@ def make_train_step(bundle: ModelBundle, tx,
     return jax.jit(step, donate_argnums=(0,))
 
 
-def init_train_state(bundle: ModelBundle, tx) -> Dict:
+def init_train_state(bundle: ModelBundle, tx,
+                     ema_decay: float = 0.0) -> Dict:
     variables = bundle.params
     # copy: the jitted train step donates its state argument, and aliasing
     # bundle.params here would delete the bundle's own buffers on step 1
     params = jax.tree_util.tree_map(jnp.array, variables["params"])
     batch_stats = jax.tree_util.tree_map(
         jnp.array, variables.get("batch_stats", {}))
-    return {"params": params, "batch_stats": batch_stats,
-            "opt_state": tx.init(params), "step": 0}
+    state = {"params": params, "batch_stats": batch_stats,
+             "opt_state": tx.init(params), "step": 0}
+    if ema_decay > 0.0:
+        state["ema_params"] = jax.tree_util.tree_map(
+            lambda p: jnp.array(p, jnp.float32), params)
+    return state
 
 
 def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
@@ -135,7 +177,9 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         conf_threshold: float = 0.25, log_fn=print,
         bn_mode: str = "frozen", remat: bool = False,
         ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
-        loss_kwargs: Optional[Dict] = None) -> Dict:
+        loss_kwargs: Optional[Dict] = None,
+        lr_schedule: str = "constant", warmup_epochs: float = 0.0,
+        final_lr_frac: float = 0.01, ema_decay: float = 0.0) -> Dict:
     """Train a detector: notebook-workflow parity
     (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
     loader config) with in-framework mAP validation (cell 22).
@@ -143,6 +187,14 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     ckpt_dir: orbax train-state checkpointing — saves every ckpt_every
     epochs and RESUMES from the latest epoch found there, so multi-session
     training continues exactly (runtime/train_ckpt.py).
+
+    lr_schedule/'warmup_epochs'/'final_lr_frac': 'cosine' or 'linear' decay
+    toward lr·final_lr_frac with a warmup ramp — the ultralytics recipe the
+    reference's checkpoints were trained under (warmup 3 epochs, lrf 0.01).
+    ema_decay (e.g. 0.9999): maintain an exponential moving average of the
+    weights with the ultralytics ramp; evaluation and the returned state
+    prefer 'ema_params' when present. Both default OFF to preserve the
+    validated round-1 recipe.
 
     Returns the final state dict ({'params','batch_stats',...}); pass
     {'params': ..., 'batch_stats': ...} to inference functions or
@@ -152,10 +204,22 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
 
     import numpy as np
 
-    tx = make_optimizer(lr=lr)
+    if lr_schedule == "constant" and not warmup_epochs:
+        tx = make_optimizer(lr=lr)
+    else:
+        # duck-typed loaders can expose steps_per_epoch directly; the
+        # standard DetectionLoader derives it from samples/batch
+        steps_per_epoch = getattr(loader, "steps_per_epoch", None) or max(
+            1, len(loader.samples) // max(loader.cfg.batch_size, 1))
+        tx = make_optimizer(
+            lr=lr, schedule=lr_schedule,
+            total_steps=steps_per_epoch * epochs,
+            warmup_steps=int(round(warmup_epochs * steps_per_epoch)),
+            final_lr_frac=final_lr_frac)
     step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
-                              remat=remat, loss_kwargs=loss_kwargs)
-    state = init_train_state(bundle, tx)
+                              remat=remat, loss_kwargs=loss_kwargs,
+                              ema_decay=ema_decay)
+    state = init_train_state(bundle, tx, ema_decay=ema_decay)
     start_epoch = 0
     if ckpt_dir:
         from aerial_image_recognition_tpu.runtime.train_ckpt import (
@@ -166,8 +230,18 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                           ckpt_dir) else []
         if done:
             start_epoch = done[-1] + 1
-            state = load_train_state(
-                os.path.join(ckpt_dir, f"epoch_{done[-1]}"), state)
+            path = os.path.join(ckpt_dir, f"epoch_{done[-1]}")
+            try:
+                state = load_train_state(path, state)
+            except Exception:
+                if "ema_params" not in state:
+                    raise
+                # checkpoint predates EMA tracking: restore without it and
+                # re-seed the average from the restored weights
+                tmpl = {k: v for k, v in state.items() if k != "ema_params"}
+                state = load_train_state(path, tmpl)
+                state["ema_params"] = jax.tree_util.tree_map(
+                    lambda p: jnp.array(p, jnp.float32), state["params"])
             log_fn(f"resumed from epoch {done[-1]} "
                    f"(step {state['step']})")
     if mesh is not None:
@@ -206,7 +280,9 @@ def evaluate(bundle: ModelBundle, state: Dict, loader,
     from aerial_image_recognition_tpu.ops.metrics import evaluate_detections
     from aerial_image_recognition_tpu.ops.nms import batched_nms
 
-    variables = {"params": state["params"],
+    # EMA weights, when tracked, are the deployment weights (ultralytics
+    # validates the EMA model too)
+    variables = {"params": state.get("ema_params", state["params"]),
                  "batch_stats": state["batch_stats"]}
     nc = bundle.spec.num_classes
 
