@@ -50,7 +50,9 @@ class DetectorConfig:
     # --- Model head ---
     model_family: str = "yolov7"         # yolov7 | yolov8 | xunet
     num_classes: int = 1
-    max_detections_per_tile: int = 128   # fixed top-K slots (static shapes)
+    max_detections_per_tile: int = 64    # fixed top-K slots (static shapes;
+    # the reference keeps top-10/tile — gpu_handler.py:173 — so 64 is
+    # generous; 64 vs 128 measured +1% step time, see BASELINE.md round-2)
     nms_iou_threshold: float = 0.45
 
     # --- TPU execution (new in this build) ---

@@ -64,3 +64,63 @@ def test_grouped_nms_odd_batches(rng):
                                       np.asarray(got.valid))
         np.testing.assert_allclose(
             np.asarray(ref.scores), np.asarray(got.scores), rtol=1e-6)
+
+
+def test_fast_nms_defaults_match_exact_on_trained_load():
+    """Round-2 default flip (approx_max_k preselect, pre_topk 256,
+    max_det 64) must yield the IDENTICAL detection set as the conservative
+    config (exact top-k, 512, 128) on realistic trained-weight loads — the
+    speedup is only allowed to differ on sub-threshold candidates."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "yolov7_tiny_fakeworld.npz")
+    if not os.path.exists(fixture):
+        pytest.skip("trained fixture not present")
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=500, seed=9)
+    import math
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    tiles, bnds = [], []
+    for k in range(8):
+        lon, lat, _ = world.cars[k * 11]
+        bbox = (lon - 4.8 * m2lon, lat - 4.8 * m2lat,
+                lon + 4.8 * m2lon, lat + 4.8 * m2lat)
+        tiles.append(world.render(bbox, 96, 96))
+        bnds.append(bbox)
+    imgs = jnp.asarray(np.stack(tiles))
+    bnds = jnp.asarray(np.asarray(bnds, np.float32))
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(fixture))
+
+    fast_cfg = DetectorConfig(dtype="float32", confidence_threshold=0.3)
+    slow_cfg = DetectorConfig(dtype="float32", confidence_threshold=0.3,
+                              max_detections_per_tile=128,
+                              extra={"nms_preselect": "exact",
+                                     "nms_pre_topk": 512})
+    fast = jax.jit(make_detect_fn(bundle, fast_cfg, model_size=96))
+    slow = jax.jit(make_detect_fn(bundle, slow_cfg, model_size=96))
+    det_f, lon_f, lat_f = fast(bundle.params, imgs, bnds)
+    det_s, lon_s, lat_s = slow(bundle.params, imgs, bnds)
+
+    vf, vs = np.asarray(det_f.valid), np.asarray(det_s.valid)
+    assert vf.sum() == vs.sum() > 10
+    for b in range(vf.shape[0]):
+        pf = sorted(zip(np.asarray(lon_f[b])[vf[b]].tolist(),
+                        np.asarray(lat_f[b])[vf[b]].tolist(),
+                        np.asarray(det_f.scores[b])[vf[b]].tolist()))
+        ps = sorted(zip(np.asarray(lon_s[b])[vs[b]].tolist(),
+                        np.asarray(lat_s[b])[vs[b]].tolist(),
+                        np.asarray(det_s.scores[b])[vs[b]].tolist()))
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
+                                   rtol=0, atol=1e-7)
