@@ -10,6 +10,7 @@ Design notes:
     deployment path so the hot graph is conv+bias+activation only.
 """
 
+from contextlib import contextmanager
 from typing import Any, Sequence
 
 import jax
@@ -79,9 +80,17 @@ class ConvBN(nn.Module):
     use_bn: bool = True
 
     SPLIT_LISTS = False     # class-level experiment knob (see docstring)
+    # trace-time knob set by folded_convbn(): BN is dropped from the
+    # graph and the conv reads folded weights (kernel·γ/√(σ²+ε), bias under
+    # the bn/bias param path so the tree structure stays load-compatible)
+    FOLDED = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        folded = ConvBN.FOLDED and self.use_bn
+        if folded:
+            assert not train and not ConvBN.SPLIT_LISTS, \
+                "folded BN is an inference-only lowering (concat path)"
         if isinstance(x, (list, tuple)) and not ConvBN.SPLIT_LISTS:
             x = concat(list(x))
         if isinstance(x, (list, tuple)):
@@ -119,7 +128,9 @@ class ConvBN(nn.Module):
                 param_dtype=jnp.float32,
                 name="conv",
             )(x)
-        if self.use_bn:
+        if folded:
+            x = _FoldedBias(self.features, name="bn")(x)
+        elif self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.97,
@@ -129,6 +140,80 @@ class ConvBN(nn.Module):
                 name="bn",
             )(x)
         return ACTIVATIONS[self.act](x)
+
+
+class _FoldedBias(nn.Module):
+    """Bias-add standing in for a folded BatchNorm (scope name 'bn' keeps
+    the param path meaningful: params['...']['bn']['bias'])."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return x + b.astype(x.dtype)
+
+
+def fold_batchnorm(variables, eps: float = 1e-3):
+    """Fold inference-mode BatchNorm into conv weights for deployment.
+
+    variables: {'params': ..., 'batch_stats': ...} from a standard ConvBN
+    model. Returns {'params': ...} shaped for the FOLDED lowering (run the
+    model under `folded_convbn()`): every conv kernel is pre-scaled by
+    γ·rsqrt(σ²+ε) along its output channel and the whole affine shift
+    β − μ·γ·rsqrt(σ²+ε) lands in params[...]['bn']['bias'], so the hot
+    graph is conv + bias + activation only — no BN op. Non-ConvBN leaves
+    (detect heads, plain convs) pass through untouched.
+
+    NOTE: under jit the unfolded BN affine cannot be constant-folded by XLA
+    (params are runtime inputs), so this is a genuine graph change; whether
+    it *wins* depends on how well XLA already fuses the affine into the conv
+    epilogue — see BASELINE.md for the measured verdict.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def walk(p, s):
+        if not isinstance(p, dict):
+            return p
+        if "conv" in p and "bn" in p and isinstance(p["bn"], dict) \
+                and "scale" in p["bn"] and s and "mean" in s.get("bn", {}):
+            scale = jnp.asarray(p["bn"]["scale"], jnp.float32)
+            beta = jnp.asarray(p["bn"]["bias"], jnp.float32)
+            mean = jnp.asarray(s["bn"]["mean"], jnp.float32)
+            var = jnp.asarray(s["bn"]["var"], jnp.float32)
+            k = jnp.asarray(p["conv"]["kernel"], jnp.float32)
+            g = scale * jax.lax.rsqrt(var + eps)
+            out = dict(p)
+            out["conv"] = {"kernel": k * g}           # HWIO: O is last
+            out["bn"] = {"bias": beta - mean * g}
+            # recurse into any sibling submodules (e.g. nested blocks)
+            for key, val in p.items():
+                if key not in ("conv", "bn"):
+                    out[key] = walk(val, s.get(key, {}) if isinstance(
+                        s, dict) else {})
+            return out
+        return {key: walk(val, s.get(key, {}) if isinstance(s, dict)
+                          else {}) for key, val in p.items()}
+
+    return {"params": walk(params, stats)}
+
+
+@contextmanager
+def folded_convbn():
+    """Trace-time context: ConvBN emits the folded (BN-less) lowering.
+
+    jit defers tracing to the first call, so wrap the CALL, not the jit():
+        fn = jax.jit(detect)
+        with folded_convbn():
+            fn(fold_batchnorm(variables), x)   # traces folded
+    """
+    old = ConvBN.FOLDED
+    ConvBN.FOLDED = True
+    try:
+        yield
+    finally:
+        ConvBN.FOLDED = old
 
 
 class MaxPoolSame(nn.Module):

@@ -212,3 +212,28 @@ def test_convbn_split_lowering_matches_concat(rng):
     for a, b in zip(ref, alt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fold_batchnorm_parity():
+    """fold_batchnorm + the FOLDED lowering must reproduce the standard
+    BN graph to f32 rounding — the deployment path is conv+bias+act only.
+    (The BN affine can't be constant-folded by XLA under jit — params are
+    runtime inputs — so this is a genuine alternative graph.)"""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.models.layers import (
+        fold_batchnorm, folded_convbn)
+    from aerial_image_recognition_tpu.models.registry import create_model
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)).astype(np.float32))
+    for name in ("yolov7_itcvd", "yolov8_tokyo"):
+        bundle = create_model(name, dtype=jnp.float32, seed=4)
+        ref_b, ref_s = bundle.forward(bundle.params, x)
+        folded = fold_batchnorm(bundle.params)
+        assert "batch_stats" not in folded
+        with folded_convbn():
+            fb, fs = bundle.forward(folded, x)
+        np.testing.assert_allclose(np.asarray(ref_b), np.asarray(fb),
+                                   atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(ref_s), np.asarray(fs),
+                                   atol=1e-5, rtol=1e-4)
