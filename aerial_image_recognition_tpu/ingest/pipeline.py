@@ -32,15 +32,25 @@ class TileBatch:
 
 
 def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
-                     batch_size: int, src_size: int
-                     ) -> Iterator[TileBatch]:
+                     batch_size: int, src_size: int,
+                     layout: str = "hwc") -> Iterator[TileBatch]:
     """Pack (index, TileImage) streams into fixed-shape batches.
 
     Failed tiles (None) are recorded, not batched. The final partial batch
     is zero-padded with index −1 so every device step sees identical shapes
     (one compiled program for the whole scan).
+
+    layout "s2d2" packs each tile in space_to_depth^2 order
+    [S/4, S/4, 48] for the quad-stem lowering (DetectStep.input_layout) —
+    a strided host copy in place of the straight memcpy; identical bytes
+    cross PCIe and no device-side relayout is needed (ops/quadstem.py).
     """
-    imgs = np.zeros((batch_size, src_size, src_size, 3), dtype=np.uint8)
+    if layout == "s2d2":
+        from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+        imgs = np.zeros((batch_size, src_size // 4, src_size // 4, 48),
+                        dtype=np.uint8)
+    else:
+        imgs = np.zeros((batch_size, src_size, src_size, 3), dtype=np.uint8)
     bnds = np.zeros((batch_size, 4), dtype=np.float32)
     idxs = np.full((batch_size,), -1, dtype=np.int64)
     fill = 0
@@ -54,7 +64,7 @@ def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
             raise ValueError(
                 f"tile {index}: got {px.shape[:2]}, expected {src_size}² — "
                 "fetchers must emit fixed-size windows (window_px/wms_size)")
-        imgs[fill] = px
+        imgs[fill] = host_s2d2(px) if layout == "s2d2" else px
         bnds[fill] = tile.bounds
         idxs[fill] = index
         fill += 1

@@ -158,6 +158,12 @@ class YOLOv7(nn.Module):
     variant: str = "tiny"
     dtype: Any = jnp.bfloat16
     s2d_stem: bool = False
+    # from_p2: the input is already the P2/4 stem feature map
+    # [B, H/4, W/4, 64] — the two stem ConvBNs are skipped. Used by the
+    # quad-stem inference lowering (ops.quadstem computes the stems as
+    # MXU-shaped 2x2 convs over host-relayouted s2d^2 input); the unused
+    # stem0/stem1 params in a loaded checkpoint are simply ignored.
+    from_p2: bool = False
 
     @property
     def anchors(self):
@@ -184,13 +190,16 @@ class YOLOv7(nn.Module):
 
     def _tiny(self, x, train):
         kw = dict(act="leaky", dtype=self.dtype)
-        if self.s2d_stem:
+        if self.from_p2:
+            assert not train, "from_p2 is an inference-only lowering"
+        elif self.s2d_stem:
             from aerial_image_recognition_tpu.models.layers import space_to_depth2
             x = space_to_depth2(x)                                       # P1/2
             x = ConvBN(32, 3, stride=1, name="stem0", **kw)(x, train)
+            x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)   # P2/4
         else:
             x = ConvBN(32, 3, stride=2, name="stem0", **kw)(x, train)   # P1/2
-        x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)       # P2/4
+            x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)   # P2/4
         x = ELANTiny(32, 64, name="elan1", dtype=self.dtype)(x, train)
         x = maxpool2(x)                                                  # P3/8
         p3 = ELANTiny(64, 128, name="elan2", dtype=self.dtype)(x, train)

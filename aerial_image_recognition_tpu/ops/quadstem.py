@@ -1,0 +1,154 @@
+"""Quad-conv stem: the yolov7-tiny stride-2 stems as MXU-shaped 2x2 convs.
+
+Per-stage profiling (examples/profile_backbone.py, batch 128 x 640^2)
+showed stem0 + stem1 cost 9.2-10 ms of the ~27 ms forward: the 3-channel
+first conv fills 3/128 MXU lanes and sits ~5x above its memory floor.
+Measured alternatives (examples/ab_stem.py, examples/ab_quadstem.py,
+interleaved same-process A/B on the v5e chip):
+
+  - device-side space-to-depth rewrite (XLA): LOSES, 12.7 vs 9.2 ms — the
+    relayout of a 3-channel 640^2 batch costs 6.7-7.9 ms on its own.
+  - hand-written Pallas fused-stem kernel (both convs + intermediate in
+    VMEM, grid-pipelined bands, quad/s2d weight transforms): compiles and
+    is exact, but 13.3 ms kernel-only — Mosaic's relayout/concat overhead
+    around the many small-K matmuls swamps the HBM saving (kept in git
+    history at ops/pallas_stem.py, removed from the tree).
+  - THIS module: assemble the batch in space_to_depth^2 layout on the
+    HOST (a strided memcpy during batch assembly — the bytes crossing
+    PCIe are identical), then run the two stems as plain XLA convs over
+    [B, H/4, W/4, 48]: 2x2 kernels, contraction 192/512, output width
+    128/64. 6.4 ms vs 10.1 ms for the uint8->feature chain — and XLA
+    fuses the uint8 cast + /255 into the first conv.
+
+Stage 1 computes a 2x2 quad of output pixels jointly (N = (a,b,c0) = 128),
+and its output channel order IS the s2d layout of the intermediate, so
+stage 2 is directly the equivalent 2x2-conv form of the second stride-2
+conv. Both weight transforms are exact (zero-padded taps), derived in the
+docstrings below; BN is folded into the conv weights first
+(models.layers.fold_batchnorm algebra — deploy-form conv+bias only).
+
+Replaces the hot half of the opaque ONNX stem the reference executes via
+onnxruntime (/root/reference/_script/gpu_handler.py:39-65).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def s2d_kernel_transform(w):
+    """[3,3,Cin,Cout] stride-2 SAME conv kernel -> [2,2,4*Cin,Cout]: the
+    equivalent stride-1 2x2 conv over the space_to_depth2 grid (padding
+    ((0,1),(0,1))).
+
+    SAME stride-2 over even H pads (0,1), so out[y] reads rows 2y..2y+2 =
+    s2d cells y (dy 0,1) and y+1 (dy 0); tap (u, v, dy, dx) maps to
+    original tap (2u+dy, 2v+dx), zero where that exceeds the 3x3 support.
+    The input-channel axis is s2d order (dy, dx, c), matching
+    models.layers.space_to_depth2. Parity-proven in examples/ab_stem.py.
+    """
+    k, _, cin, cout = np.shape(w)
+    assert k == 3
+    w = jnp.asarray(w, jnp.float32)
+    w4 = jnp.zeros((2, 2, 2, 2, cin, cout), jnp.float32)  # [u,v,dy,dx,c,o]
+    for u in range(2):
+        for dy in range(2):
+            if 2 * u + dy > 2:
+                continue
+            for v in range(2):
+                for dx in range(2):
+                    if 2 * v + dx > 2:
+                        continue
+                    w4 = w4.at[u, v, dy, dx].set(w[2 * u + dy, 2 * v + dx])
+    return w4.reshape(2, 2, 4 * cin, cout)
+
+
+def quad_kernel_transform(w):
+    """[3,3,Cin,Cout] stride-2 SAME conv kernel -> [2,2,16*Cin,4*Cout]:
+    a stride-1 2x2 conv over space_to_depth2(space_to_depth2(x)) cells
+    computing a 2x2 OUTPUT quad jointly.
+
+    Output quad pixel (a, b) of cell (R, C) is conv output (2R+a, 2C+b),
+    reading original rows 4R + 2a + ky — i.e. s2d^2 cell row R+p with
+    p = (2a+ky)//4 and in-cell offset (e, dy) = divmod((2a+ky)%4, 2).
+    Input channels are s2d^2 order (e, f, dy, dx, c); output channels are
+    (a, b, Cout) — exactly the s2d layout of the produced feature map.
+    """
+    k, _, cin, cout = np.shape(w)
+    assert k == 3
+    w = jnp.asarray(w, jnp.float32)
+    wq = jnp.zeros((2, 2, 2, 2, 2, 2, cin, 2, 2, cout), jnp.float32)
+    # [p, q, e, f, dy, dx, c, a, b, o]
+    for a in range(2):
+        for ky in range(3):
+            p, r = divmod(2 * a + ky, 4)
+            e, dy = divmod(r, 2)
+            for b in range(2):
+                for kx in range(3):
+                    q, s = divmod(2 * b + kx, 4)
+                    f, dx = divmod(s, 2)
+                    wq = wq.at[p, q, e, f, dy, dx, :, a, b, :].set(w[ky, kx])
+    return wq.reshape(2, 2, 16 * cin, 4 * cout)
+
+
+def host_s2d2(px: np.ndarray) -> np.ndarray:
+    """numpy space_to_depth2 applied twice: [H,W,C] -> [H/4,W/4,16C]
+    (or batched [B,H,W,C] -> [B,H/4,W/4,16C]).
+
+    Used by the ingest plane to assemble batches directly in the layout
+    the quad stem consumes — a strided copy the host performs while
+    packing the batch buffer anyway; PCIe bytes are unchanged.
+    Channel order matches space_to_depth2(space_to_depth2(x)) on device:
+    (e, f, dy, dx, c).
+    """
+    batched = px.ndim == 4
+    if not batched:
+        px = px[None]
+    b, h, w, c = px.shape
+    x = px.reshape(b, h // 4, 2, 2, w // 4, 2, 2, c)
+    # dims: [B, R, e, dy, C, f, dx, c] -> [B, R, C, e, f, dy, dx, c]
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    out = np.ascontiguousarray(x).reshape(b, h // 4, w // 4, 16 * c)
+    return out if batched else out[0]
+
+
+def fold_convbn(p, s, eps: float = 1e-3):
+    """One ConvBN scope ({conv,bn} params + bn stats) -> (w, b) f32 deploy
+    form (models.layers.fold_batchnorm algebra)."""
+    k = jnp.asarray(p["conv"]["kernel"], jnp.float32)
+    g = jnp.asarray(p["bn"]["scale"], jnp.float32) * jax.lax.rsqrt(
+        jnp.asarray(s["bn"]["var"], jnp.float32) + eps)
+    beta = jnp.asarray(p["bn"]["bias"], jnp.float32)
+    mean = jnp.asarray(s["bn"]["mean"], jnp.float32)
+    return k * g, beta - mean * g
+
+
+def quad_stem_forward(variables, xq, *, negslope: float = 0.1,
+                      in_scale=1.0 / 255.0, dtype=jnp.bfloat16,
+                      stem_names=("stem0", "stem1")):
+    """s2d^2 input [B,H/4,W/4,48] (uint8 or float) -> stem features
+    [B,H/4,W/4,c1], numerically the standard stems applied to x/255 up to
+    bf16 rounding (measured max-abs-diff 0.008 at activation scale 0.2).
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    w0, b0 = fold_convbn(params[stem_names[0]], stats[stem_names[0]])
+    w1, b1 = fold_convbn(params[stem_names[1]], stats[stem_names[1]])
+    w0q = quad_kernel_transform(w0)               # [2,2,48,4*c0]
+    w1q = s2d_kernel_transform(w1)                # [2,2,4*c0,c1]
+    b0q = jnp.tile(b0, 4)
+
+    x = xq.astype(dtype)
+
+    def conv2(v, w):
+        return jax.lax.conv_general_dilated(
+            v, w.astype(v.dtype), (1, 1), [(0, 1), (0, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def leaky(v):
+        return jnp.where(v >= 0, v, v * jnp.asarray(negslope, v.dtype))
+
+    scale = jnp.asarray(in_scale if in_scale is not None else 1.0, dtype)
+    h = leaky(conv2(x, w0q) * scale + b0q.astype(dtype))
+    return leaky(conv2(h, w1q) + b1.astype(dtype))

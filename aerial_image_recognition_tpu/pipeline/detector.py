@@ -275,7 +275,7 @@ class CarDetector:
                 yield from zip(idxs, imgs)
 
         return assemble_batches(tile_iter(), batch_size=step.batch,
-                                src_size=src)
+                                src_size=src, layout=step.input_layout)
 
     def _collect(self, batch, out, step):
         det, lon, lat = out

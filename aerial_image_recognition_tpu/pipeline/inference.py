@@ -31,15 +31,33 @@ class DetectStep:
     # when data-parallel: NamedShardings for (images, bounds) so the ingest
     # plane can device_put straight into the sharded layout (one H2D per chip)
     input_shardings: Optional[tuple] = None
+    # "hwc": images arrive [B,S,S,3]; "s2d2": the host assembles batches in
+    # space_to_depth^2 layout [B,S/4,S/4,48] for the quad-stem lowering
+    # (ops/quadstem.py — same PCIe bytes, stems run as MXU-shaped convs)
+    input_layout: str = "hwc"
 
     def __call__(self, images_u8, bounds):
-        return self.fn(self.bundle.params, images_u8, bounds)
+        return self.fn(self.bundle.params, self.pack_images(images_u8),
+                       bounds)
+
+    def pack_images(self, images_u8):
+        """Convert a host [B,S,S,3] uint8 batch to this step's input
+        layout (no-op for already-packed or hwc input). The ingest plane
+        assembles directly in the right layout; this covers callers that
+        build plain image batches (serve, geotiff windows, tests)."""
+        if (self.input_layout == "s2d2" and hasattr(images_u8, "shape")
+                and images_u8.ndim == 4 and images_u8.shape[-1] == 3):
+            from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+            import numpy as _np
+            return host_s2d2(_np.asarray(images_u8))
+        return images_u8
 
 
 def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                    src_size: Optional[int] = None,
                    crop_size: Optional[int] = None,
-                   model_size: Optional[int] = None):
+                   model_size: Optional[int] = None,
+                   quad: bool = False):
     """Build the pure (params, images_u8, bounds) → results function.
 
     src_size: source pixel edge of incoming tiles (e.g. 1024 mosaics or 864
@@ -52,8 +70,35 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
     spec = bundle.spec
     model_size = model_size or spec.input_size
     tta = bool(cfg.extra.get("tta", False)) if hasattr(cfg, "extra") else False
+    # quad: caller asserts the input arrives in s2d^2 layout (decided by
+    # build_detect_step via use_quad_stem — direct make_detect_fn callers
+    # keep the [B,S,S,3] contract unless they opt in)
+
+    def finish(boxes, scores, bounds):
+        det = batched_nms(
+            boxes, scores,
+            num_classes=spec.num_classes,
+            conf_threshold=cfg.confidence_threshold,
+            iou_threshold=cfg.nms_iou_threshold,
+            max_det=cfg.max_detections_per_tile,
+            # defaults from the round-2 interleaved A/B (BASELINE.md):
+            # approx_max_k preselect (the TPU-native partial sort) over
+            # 256 candidates is +10% step throughput vs exact/512, with
+            # detection-set parity on realistic loads (the reference
+            # keeps only top-10/tile; 256 candidates >= anything a 64 m
+            # tile holds). Exact mode stays one config knob away.
+            pre_topk=int(cfg.extra.get("nms_pre_topk", 256)),
+            class_aware=True,
+            preselect=cfg.extra.get("nms_preselect", "approx"))
+        lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
+        return det, lon, lat
 
     def detect(params, images_u8, bounds):
+        if quad:
+            # host-relayouted s2d^2 uint8 batch [B,S/4,S/4,48]: preprocess
+            # (/255) folds into the quad stem's first conv (ops/quadstem.py)
+            boxes, scores = bundle.forward_s2d2(params, images_u8)
+            return finish(boxes, scores, bounds)
         x = preprocess_batch(
             images_u8, out_size=model_size, crop_size=crop_size,
             method="bilinear",
@@ -96,25 +141,34 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             scores = jnp.concatenate(scores_l, axis=1)
         else:
             boxes, scores = bundle.forward(params, x)
-        det = batched_nms(
-            boxes, scores,
-            num_classes=spec.num_classes,
-            conf_threshold=cfg.confidence_threshold,
-            iou_threshold=cfg.nms_iou_threshold,
-            max_det=cfg.max_detections_per_tile,
-            # defaults from the round-2 interleaved A/B (BASELINE.md):
-            # approx_max_k preselect (the TPU-native partial sort) over
-            # 256 candidates is +10% step throughput vs exact/512, with
-            # detection-set parity on realistic loads (the reference
-            # keeps only top-10/tile; 256 candidates >= anything a 64 m
-            # tile holds). Exact mode stays one config knob away.
-            pre_topk=int(cfg.extra.get("nms_pre_topk", 256)),
-            class_aware=True,
-            preselect=cfg.extra.get("nms_preselect", "approx"))
-        lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
-        return det, lon, lat
+        return finish(boxes, scores, bounds)
 
     return detect
+
+
+def use_quad_stem(bundle: ModelBundle, cfg: DetectorConfig, *,
+                  src_size=None, crop_size=None, model_size=None) -> bool:
+    """True when the quad-stem lowering applies: yolov7-tiny standard
+    stems, native-size tiles (no device crop/resize), and none of the
+    pixel-space options (TTA / multiscale / shadow enhancement / CLAHE)
+    that need the [B,S,S,3] image form. Opt out via extra.quad_stem=false.
+    """
+    if not bool(cfg.extra.get("quad_stem", True)):
+        return False
+    if not bundle.supports_s2d2():
+        return False
+    eff_model = model_size or bundle.spec.input_size
+    if eff_model % 4:
+        return False
+    # the quad stem consumes the raw tile pixels — any device-side crop or
+    # resize would have to happen before it, so those paths keep the
+    # standard stems
+    if crop_size is not None or src_size not in (None, eff_model):
+        return False
+    for key in ("tta", "multiscale", "enhance_shadows"):
+        if cfg.extra.get(key):
+            return False
+    return True
 
 
 def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
@@ -144,8 +198,11 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         cfg.model_path,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         params_path=cfg.params_path)
+    quad = use_quad_stem(bundle, cfg, src_size=src_size,
+                         crop_size=crop_size, model_size=model_size)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,
-                            crop_size=crop_size, model_size=model_size)
+                            crop_size=crop_size, model_size=model_size,
+                            quad=quad)
     eff_batch = batch or cfg.device_batch
     input_shardings = None
     if mesh is None:
@@ -173,7 +230,8 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         input_shardings = (bsh, bsh)
     step = DetectStep(bundle=bundle, fn=fn, batch=eff_batch,
                       input_size=src_size or bundle.spec.input_size,
-                      input_shardings=input_shardings)
+                      input_shardings=input_shardings,
+                      input_layout="s2d2" if quad else "hwc")
     step.model_size = model_size or bundle.spec.input_size
     return step
 

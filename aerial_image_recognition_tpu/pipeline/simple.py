@@ -104,7 +104,8 @@ class SimpleDetector:
                                (b["west"], b["south"], b["east"], b["north"])))
                  for i, (img, b) in enumerate(zip(images, bounds))]
         out: List[dict] = []
-        for batch in assemble_batches(iter(tiles), step.batch, src):
+        for batch in assemble_batches(iter(tiles), step.batch, src,
+                                        layout=step.input_layout):
             det, lon, lat = step(batch.images, batch.bounds)
             recs = detections_to_records(det, batch.bounds,
                                          model_size=step.model_size,

@@ -72,13 +72,15 @@ def bench_e2e():
 
     # Warmup: compile + first H2D (first device_put through the tunnel is
     # far slower than steady state)
-    warm = list(assemble_batches(tile_iter(), batch, 640))[:2]
+    warm = list(assemble_batches(tile_iter(), batch, 640,
+                                 layout=step.input_layout))[:2]
     run_pipeline(warm, step, on_result)
 
     t0 = time.perf_counter()
     stats = run_pipeline(
         ThreadedPrefetcher(
-            assemble_batches(tile_iter(), batch, 640), depth=4),
+            assemble_batches(tile_iter(), batch, 640,
+                             layout=step.input_layout), depth=4),
         step, on_result, depth=depth)
     wall = time.perf_counter() - t0
 
@@ -113,12 +115,19 @@ def main():
 
     cfg = DetectorConfig()
     bundle = create_model("yolov7_itcvd", dtype=jnp.bfloat16)
-    detect = jax.jit(make_detect_fn(bundle, cfg))
+    from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+    from aerial_image_recognition_tpu.pipeline.inference import use_quad_stem
+    quad = use_quad_stem(bundle, cfg)
+    detect = jax.jit(make_detect_fn(bundle, cfg, quad=quad))
 
     rng = np.random.default_rng(0)
-    # two distinct device-resident batches so no result can be reused
-    images = [jnp.asarray(rng.integers(0, 255, (batch, 640, 640, 3),
-                                       dtype=np.uint8)) for _ in range(2)]
+    # two distinct device-resident batches so no result can be reused;
+    # staged in the layout the step consumes (the ingest plane assembles
+    # s2d^2 host-side for the quad-stem lowering — ops/quadstem.py)
+    pack = host_s2d2 if quad else (lambda a: a)
+    images = [jnp.asarray(pack(rng.integers(0, 255, (batch, 640, 640, 3),
+                                            dtype=np.uint8)))
+              for _ in range(2)]
     bounds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]],
                                   dtype=jnp.float32), (batch, 1))
 

@@ -1,0 +1,122 @@
+"""Quad-stem lowering (ops/quadstem.py): layout, parity, and the fused
+detect step producing identical detection sets with and without it."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aerial_image_recognition_tpu.models.layers import space_to_depth2
+from aerial_image_recognition_tpu.models.registry import create_model
+from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+
+
+def test_host_s2d2_matches_device_layout():
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    got = host_s2d2(px)
+    want = np.asarray(space_to_depth2(space_to_depth2(
+        jnp.asarray(px[None]))))[0]
+    assert got.shape == (24, 32, 48)
+    np.testing.assert_array_equal(got, want)
+    # batched form
+    b = rng.integers(0, 256, (3, 64, 64, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        host_s2d2(b),
+        np.asarray(space_to_depth2(space_to_depth2(jnp.asarray(b)))))
+
+
+def test_forward_s2d2_matches_standard_forward():
+    """bundle.forward_s2d2 on host-relayouted uint8 == bundle.forward on
+    x/255, to bf16 rounding (the /255 folds into the quad stem)."""
+    rng = np.random.default_rng(1)
+    xu = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.bfloat16, seed=3)
+    rb, rs = bundle.forward(bundle.params,
+                            jnp.asarray(xu, jnp.bfloat16) / 255.0)
+    qb, qs = bundle.forward_s2d2(bundle.params, jnp.asarray(host_s2d2(xu)))
+    np.testing.assert_allclose(np.asarray(qb, np.float32),
+                               np.asarray(rb, np.float32),
+                               atol=0.05, rtol=1e-2)
+    np.testing.assert_allclose(np.asarray(qs, np.float32),
+                               np.asarray(rs, np.float32),
+                               atol=1e-3)
+
+
+def _detections(step, imgs, bounds):
+    det, lon, lat = step(imgs, bounds)
+    out = []
+    for i in range(imgs.shape[0]):
+        mask = np.asarray(det.valid[i])
+        scores = np.asarray(det.scores[i])[mask]
+        order = np.argsort(-scores)
+        out.append((np.asarray(det.boxes[i])[mask][order],
+                    scores[order],
+                    np.asarray(lon[i])[mask][order],
+                    np.asarray(lat[i])[mask][order]))
+    return out
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "tests/fixtures/yolov7_tiny_fakeworld.npz"),
+    reason="trained fixture not present")
+def test_detect_step_quad_stem_detection_parity():
+    """The production fused step with layout='s2d2' finds the same cars at
+    the same coordinates as the standard layout on trained weights."""
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    params_path = "tests/fixtures/yolov7_tiny_fakeworld.npz"
+    kw = dict(model_path="yolov7_itcvd", params_path=params_path,
+              confidence_threshold=0.4, dtype="float32")
+    cfg_q = DetectorConfig(**kw)
+    cfg_s = DetectorConfig(**kw, extra={"quad_stem": False})
+    # 96 px tiles at the fixture's training scale (0.5 m/px)
+    step_q = build_detect_step(cfg_q, batch=2, src_size=96, model_size=96)
+    step_s = build_detect_step(cfg_s, batch=2, src_size=96, model_size=96)
+    assert step_q.input_layout == "s2d2"
+    assert step_s.input_layout == "hwc"
+
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=400, seed=4)
+    m2lon = 1.0 / (111319.9 * np.cos(np.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    imgs, bounds = [], []
+    for k in range(2):
+        cx = 21.0 + (k - 0.5) * 60 * m2lon
+        bb = (cx - 24 * m2lon, 52.2 - 24 * m2lat,
+              cx + 24 * m2lon, 52.2 + 24 * m2lat)
+        imgs.append(world.render(bb, 96, 96))
+        bounds.append(bb)
+    imgs = np.stack(imgs)
+    bounds = np.asarray(bounds, np.float32)
+
+    dq = _detections(step_q, imgs, bounds)   # __call__ packs to s2d2
+    ds = _detections(step_s, imgs, bounds)
+    assert sum(len(d[1]) for d in ds) > 0, "no detections on trained weights"
+    for (qb, qs, qlon, qlat), (sb, ss, slon, slat) in zip(dq, ds):
+        assert len(qs) == len(ss)
+        np.testing.assert_allclose(qs, ss, atol=5e-3)
+        np.testing.assert_allclose(qlon, slon, atol=1e-7)
+        np.testing.assert_allclose(qlat, slat, atol=1e-7)
+
+
+def test_assemble_batches_s2d2_layout():
+    from aerial_image_recognition_tpu.fetch.xyz import TileImage
+    from aerial_image_recognition_tpu.ingest.pipeline import (
+        assemble_batches)
+
+    rng = np.random.default_rng(3)
+    tiles = []
+    for i in range(3):
+        px = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+        tiles.append((i, TileImage(px, (0.0, 0.0, 1.0, 1.0))))
+    batches = list(assemble_batches(iter(tiles), batch_size=2, src_size=64,
+                                    layout="s2d2"))
+    assert batches[0].images.shape == (2, 16, 16, 48)
+    np.testing.assert_array_equal(batches[0].images[0],
+                                  host_s2d2(tiles[0][1].pixels))
+    assert batches[1].n_valid == 1
