@@ -103,30 +103,45 @@ class ModelBundle:
             return decode_yolov8(outs, self.spec.num_classes)
         return outs  # xunet: mask logits
 
-    def supports_s2d2(self) -> bool:
-        """True when the quad-stem inference lowering applies (yolov7-tiny
-        with the standard stems)."""
-        return (self.spec.family == "yolov7"
+    def _s2d2_meta(self):
+        """(stem scope names, activation) for the quad-stem lowering, or
+        None when it doesn't apply. Any model whose entry is two stride-2
+        3x3 ConvBNs qualifies (yolov7-tiny and every yolov8 scale)."""
+        if (self.spec.family == "yolov7"
                 and getattr(self.module, "variant", "") == "tiny"
-                and not getattr(self.module, "s2d_stem", False))
+                and not getattr(self.module, "s2d_stem", False)):
+            return ("stem0", "stem1"), "leaky"
+        if self.spec.family == "yolov8":
+            return ("stem", "down2"), "silu"
+        return None
+
+    def supports_s2d2(self) -> bool:
+        """True when the quad-stem inference lowering applies."""
+        return self._s2d2_meta() is not None
 
     def forward_s2d2(self, params, xq, in_scale=1.0 / 255.0):
         """Quad-stem inference path: xq is the host-relayouted s2d^2 batch
         [B,S/4,S/4,48] (uint8 or float). The /255 normalize folds into the
         stem's first conv; the rest of the network runs from the P2 feature
-        map (models/yolov7.py from_p2). Numerically the standard forward on
+        map (from_p2 on the model). Numerically the standard forward on
         x/255 up to bf16 rounding — see ops/quadstem.py for the measured
         perf rationale (6.4 vs 10.1 ms for the stem chain on v5e)."""
-        from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+        from aerial_image_recognition_tpu.ops.decode import (
+            decode_yolov7, decode_yolov8)
         from aerial_image_recognition_tpu.ops.quadstem import (
             quad_stem_forward)
-        assert self.supports_s2d2()
-        feat = quad_stem_forward(params, xq, in_scale=in_scale,
-                                 dtype=self.module.dtype)
+        meta = self._s2d2_meta()
+        assert meta is not None
+        stem_names, act = meta
+        feat = quad_stem_forward(params, xq, act=act, in_scale=in_scale,
+                                 dtype=self.module.dtype,
+                                 stem_names=stem_names)
         outs = self.module.clone(from_p2=True).apply(
             params, feat, train=False)
-        return decode_yolov7(outs, self.module.anchors,
-                             self.spec.num_classes)
+        if self.spec.family == "yolov7":
+            return decode_yolov7(outs, self.module.anchors,
+                                 self.spec.num_classes)
+        return decode_yolov8(outs, self.spec.num_classes)
 
 
 def create_model(name: str, *, dtype=jnp.bfloat16, seed: int = 0,

@@ -125,6 +125,11 @@ class YOLOv8(nn.Module):
     num_classes: int = 2
     scale: str = "l"
     dtype: Any = jnp.bfloat16
+    # from_p2: input is already the P2/4 stem feature [B,H/4,W/4,c2] — the
+    # quad-stem inference lowering (ops.quadstem) computed stem+down2 as
+    # 2x2 convs over host-relayouted s2d^2 input; unused stem params in a
+    # loaded checkpoint are ignored.
+    from_p2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
@@ -132,8 +137,11 @@ class YOLOv8(nn.Module):
         dt = self.dtype
         c1, c2, c3, c4, c5 = (_r(64, w), _r(128, w), _r(256, w), _r(512, w),
                               _r(512 * r, w))
-        x = ConvBN(c1, 3, stride=2, name="stem", dtype=dt)(x, train)     # P1/2
-        x = ConvBN(c2, 3, stride=2, name="down2", dtype=dt)(x, train)    # P2/4
+        if self.from_p2:
+            assert not train, "from_p2 is an inference-only lowering"
+        else:
+            x = ConvBN(c1, 3, stride=2, name="stem", dtype=dt)(x, train)  # P1/2
+            x = ConvBN(c2, 3, stride=2, name="down2", dtype=dt)(x, train)  # P2/4
         x = C2f(c2, _n(3, d), True, name="c2f1", dtype=dt)(x, train)
         x = ConvBN(c3, 3, stride=2, name="down3", dtype=dt)(x, train)    # P3/8
         p3 = C2f(c3, _n(6, d), True, name="c2f2", dtype=dt)(x, train)

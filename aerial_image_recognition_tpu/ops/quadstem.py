@@ -125,7 +125,7 @@ def fold_convbn(p, s, eps: float = 1e-3):
     return k * g, beta - mean * g
 
 
-def quad_stem_forward(variables, xq, *, negslope: float = 0.1,
+def quad_stem_forward(variables, xq, *, act: str = "leaky",
                       in_scale=1.0 / 255.0, dtype=jnp.bfloat16,
                       stem_names=("stem0", "stem1")):
     """s2d^2 input [B,H/4,W/4,48] (uint8 or float) -> stem features
@@ -146,9 +146,14 @@ def quad_stem_forward(variables, xq, *, negslope: float = 0.1,
             v, w.astype(v.dtype), (1, 1), [(0, 1), (0, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
-    def leaky(v):
-        return jnp.where(v >= 0, v, v * jnp.asarray(negslope, v.dtype))
+    if act == "leaky":
+        def act_fn(v):
+            return jnp.where(v >= 0, v, v * jnp.asarray(0.1, v.dtype))
+    elif act == "silu":
+        act_fn = jax.nn.silu
+    else:
+        raise ValueError(f"unsupported stem activation {act!r}")
 
     scale = jnp.asarray(in_scale if in_scale is not None else 1.0, dtype)
-    h = leaky(conv2(x, w0q) * scale + b0q.astype(dtype))
-    return leaky(conv2(h, w1q) + b1.astype(dtype))
+    h = act_fn(conv2(x, w0q) * scale + b0q.astype(dtype))
+    return act_fn(conv2(h, w1q) + b1.astype(dtype))

@@ -26,12 +26,14 @@ def test_host_s2d2_matches_device_layout():
         np.asarray(space_to_depth2(space_to_depth2(jnp.asarray(b)))))
 
 
-def test_forward_s2d2_matches_standard_forward():
+@pytest.mark.parametrize("name", ["yolov7_itcvd", "yolov8_tokyo"])
+def test_forward_s2d2_matches_standard_forward(name):
     """bundle.forward_s2d2 on host-relayouted uint8 == bundle.forward on
-    x/255, to bf16 rounding (the /255 folds into the quad stem)."""
+    x/255, to bf16 rounding (the /255 folds into the quad stem). Covers
+    both stem families: yolov7-tiny (leaky) and yolov8 (silu)."""
     rng = np.random.default_rng(1)
     xu = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
-    bundle = create_model("yolov7_itcvd", dtype=jnp.bfloat16, seed=3)
+    bundle = create_model(name, dtype=jnp.bfloat16, seed=3)
     rb, rs = bundle.forward(bundle.params,
                             jnp.asarray(xu, jnp.bfloat16) / 255.0)
     qb, qs = bundle.forward_s2d2(bundle.params, jnp.asarray(host_s2d2(xu)))
