@@ -1,4 +1,4 @@
-"""Train YOLOv7-tiny from scratch on the synthetic fake world, on TPU.
+"""Train a detector from scratch on the synthetic fake world, on TPU.
 
 This is the repo-tracked version of the round-1 learning validation
 (STATUS.md: mAP50 0.96 after 3000 steps) and the harness for the BatchNorm
@@ -60,6 +60,8 @@ def build_samples(world, n_images: int, size: int, tile_m: float,
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="yolov7_itcvd",
+                    help="any registry name (yolov7_itcvd, yolov8n, ...)")
     ap.add_argument("--bn-mode", default="batch",
                     choices=["batch", "frozen"])
     ap.add_argument("--epochs", type=int, default=60)
@@ -94,11 +96,14 @@ def main():
                             max_targets=32, mosaic=0.0, mixup=0.0, hsv=0.0),
         decode_fn=decode, train=False)
 
-    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle = create_model(args.model, dtype=jnp.float32)
+    # obj_pos_weight counters background flooding in the anchor-based v7
+    # loss; the anchor-free v8 loss has no objectness channel
+    lk = ({"obj_pos_weight": 8.0} if bundle.spec.family == "yolov7"
+          else {})
     state = fit(bundle, train_loader, epochs=args.epochs, lr=args.lr,
                 eval_loader=val_loader, eval_every=args.eval_every,
-                bn_mode=args.bn_mode,
-                loss_kwargs={"obj_pos_weight": 8.0})
+                bn_mode=args.bn_mode, loss_kwargs=lk)
     history = state.pop("history")
     if args.out:
         save_params({"params": state["params"],
@@ -106,7 +111,8 @@ def main():
     if args.history_out:
         with open(args.history_out, "w") as f:
             json.dump({"bn_mode": args.bn_mode, "history": history}, f)
-    print(json.dumps({"bn_mode": args.bn_mode, "final": history[-1]}))
+    print(json.dumps({"model": args.model, "bn_mode": args.bn_mode,
+                      "final": history[-1]}))
 
 
 if __name__ == "__main__":
