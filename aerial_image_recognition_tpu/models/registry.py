@@ -62,6 +62,21 @@ REGISTRY: Dict[str, ModelSpec] = {
 }
 
 
+def _yolov8_at_scale(sc):
+    def make(dtype=jnp.bfloat16):
+        return YOLOv8(num_classes=2, scale=sc, dtype=dtype)
+    return make
+
+
+# every upstream yolov8 scale (the ultralytics n/s/m/l/x ladder) as its own
+# registry slot — "yolov8n" must build the 3M-param nano, not silently
+# alias the Tokyo L model
+for _sc in "nsmlx":
+    REGISTRY[f"yolov8{_sc}"] = ModelSpec(
+        f"yolov8{_sc}", "yolov8", 2, 640, _yolov8_at_scale(_sc),
+        ("car", "truck"))
+
+
 def resolve_model_name(model_path: str) -> str:
     """Map reference-style .onnx paths to registry names."""
     base = os.path.basename(model_path).lower()

@@ -97,8 +97,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--batch", type=int, default=8)
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument("--n-train", type=int, default=80)
-    pt.add_argument("--bn-mode", default="frozen",
-                    choices=["batch", "frozen"])
+    pt.add_argument("--bn-mode", default="auto",
+                    choices=["auto", "batch", "frozen"])
     pt.add_argument("--lr-schedule", default="constant",
                     choices=["constant", "cosine", "linear"])
     pt.add_argument("--warmup-epochs", type=float, default=0.0)

@@ -64,11 +64,28 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4,
     )
 
 
+def resolve_bn_mode(bundle: ModelBundle, bn_mode: str) -> str:
+    """'auto' → the per-family validated default.
+
+    yolov7: 'frozen' — on the 512-image fake-world A/B (VERDICT round-1
+    item 6) frozen reached eval mAP50 1.00 vs batch 0.70.
+    yolov8 (and other deep-residual nets): 'batch' — frozen-at-init means
+    the trunk trains with NO effective normalization (running stats are
+    the identity), and the v8 C2f residual stacks diverge within tens of
+    steps at any tested lr (cls logits → −1e11; instrumented fake-world
+    run, round 2). Batch mode is stable; its eval-time running-average lag
+    is fixed by `recalibrate_bn` (fit() applies it before every eval).
+    """
+    if bn_mode != "auto":
+        return bn_mode
+    return "frozen" if bundle.spec.family == "yolov7" else "batch"
+
+
 def make_train_step(bundle: ModelBundle, tx,
                     mesh: Optional[Mesh] = None,
                     axis_name: str = "data",
                     loss_kwargs: Optional[Dict] = None,
-                    bn_mode: str = "frozen",
+                    bn_mode: str = "auto",
                     remat: bool = False,
                     ema_decay: float = 0.0) -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
@@ -76,20 +93,15 @@ def make_train_step(bundle: ModelBundle, tx,
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
     gradient all-reduce over ICI automatically.
 
-    bn_mode: 'frozen' (default) = BN applies its running statistics as a
-    fixed affine during training too — train/eval consistent by
-    construction; 'batch' = standard BatchNorm training (batch statistics +
-    running-average updates). Default chosen empirically (VERDICT round-1
-    item 6): on the 512-image fake-world run (examples/train_fakeworld.py,
-    60 epochs, identical data/recipe) frozen reached eval mAP50 = 1.00
-    while batch mode oscillated and topped out at 0.70 — the running
-    averages lag the batch statistics the detector trains against, so eval
-    (which uses running stats) systematically underperforms. Opt into
-    'batch' for long from-scratch runs on large, i.i.d. datasets where the
-    averages converge.
+    bn_mode: 'frozen' = BN applies its running statistics as a fixed
+    affine during training too — train/eval consistent by construction;
+    'batch' = standard BatchNorm training (batch statistics +
+    running-average updates); 'auto' (default) = per-family validated
+    choice, see `resolve_bn_mode`.
     """
     module = bundle.module
     spec = bundle.spec
+    bn_mode = resolve_bn_mode(bundle, bn_mode)
 
     def _forward_frozen(params, batch_stats, x):
         return module.apply({"params": params, "batch_stats": batch_stats},
@@ -171,11 +183,43 @@ def init_train_state(bundle: ModelBundle, tx,
     return state
 
 
+def recalibrate_bn(bundle: ModelBundle, state: Dict, loader,
+                   passes: int = 4) -> Dict:
+    """Recompute BatchNorm running statistics from the FINAL weights.
+
+    Standard post-training BN recalibration: run train-mode forwards
+    (statistics updating, parameters untouched) over the loader `passes`
+    times so the running averages converge to the statistics of the
+    trained network — the batch-mode eval lag observed in the round-1 A/B
+    (eval mAP oscillating while train loss falls) is exactly stale running
+    averages, and this removes it. Returns the state with updated
+    'batch_stats'. No-op for models without batch_stats.
+    """
+    if not state.get("batch_stats"):
+        return state
+    params = state.get("ema_params", state["params"])
+
+    @jax.jit
+    def stats_step(batch_stats, images_u8):
+        x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
+                             dtype=jnp.bfloat16)
+        _, updates = bundle.module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        return updates["batch_stats"]
+
+    bs = state["batch_stats"]
+    for p in range(passes):
+        for images, _targets in loader.epoch(10_000 + p):
+            bs = stats_step(bs, images)
+    return dict(state, batch_stats=bs)
+
+
 def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         lr: float = 1e-4, mesh: Optional[Mesh] = None,
         eval_loader=None, eval_every: int = 1,
         conf_threshold: float = 0.25, log_fn=print,
-        bn_mode: str = "frozen", remat: bool = False,
+        bn_mode: str = "auto", remat: bool = False,
         ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
         loss_kwargs: Optional[Dict] = None,
         lr_schedule: str = "constant", warmup_epochs: float = 0.0,
@@ -216,6 +260,7 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
             total_steps=steps_per_epoch * epochs,
             warmup_steps=int(round(warmup_epochs * steps_per_epoch)),
             final_lr_frac=final_lr_frac)
+    bn_mode = resolve_bn_mode(bundle, bn_mode)
     step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
                               remat=remat, loss_kwargs=loss_kwargs,
                               ema_decay=ema_decay)
@@ -259,6 +304,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         row = {"epoch": epoch, "loss": float(jnp.mean(jnp.asarray(losses)))
                if losses else float("nan")}
         if eval_loader is not None and (epoch + 1) % eval_every == 0:
+            if bn_mode == "batch":
+                # running averages lag the trained network (round-1 A/B:
+                # eval oscillates while train loss falls) — recalibrate
+                # the BN statistics from the current weights before eval
+                state = recalibrate_bn(bundle, state, loader, passes=1)
             row.update(evaluate(bundle, state, eval_loader,
                                 conf_threshold=conf_threshold))
         history.append(row)
@@ -269,6 +319,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                 save_train_state)
             save_train_state(state, os.path.join(ckpt_dir,
                                                  f"epoch_{epoch}"))
+    if bn_mode == "batch" and epochs > start_epoch:
+        state = recalibrate_bn(bundle, state, loader, passes=2)
     state["history"] = history
     return state
 

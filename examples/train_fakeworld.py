@@ -62,8 +62,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="yolov7_itcvd",
                     help="any registry name (yolov7_itcvd, yolov8n, ...)")
-    ap.add_argument("--bn-mode", default="batch",
-                    choices=["batch", "frozen"])
+    ap.add_argument("--bn-mode", default="auto",
+                    choices=["auto", "batch", "frozen"])
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--n-images", type=int, default=512)
     ap.add_argument("--size", type=int, default=96)
