@@ -46,7 +46,7 @@ def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
     cross PCIe and no device-side relayout is needed (ops/quadstem.py).
     """
     if layout == "s2d2":
-        from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+        from aerial_image_recognition_tpu.ops.quadstem import host_s2d2_into
         imgs = np.zeros((batch_size, src_size // 4, src_size // 4, 48),
                         dtype=np.uint8)
     else:
@@ -64,7 +64,10 @@ def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
             raise ValueError(
                 f"tile {index}: got {px.shape[:2]}, expected {src_size}² — "
                 "fetchers must emit fixed-size windows (window_px/wms_size)")
-        imgs[fill] = host_s2d2(px) if layout == "s2d2" else px
+        if layout == "s2d2":
+            host_s2d2_into(px, imgs[fill])   # one strided copy, no temp
+        else:
+            imgs[fill] = px
         bnds[fill] = tile.bounds
         idxs[fill] = index
         fill += 1

@@ -80,8 +80,11 @@ for _sc in "nsmlx":
 def resolve_model_name(model_path: str) -> str:
     """Map reference-style .onnx paths to registry names."""
     base = os.path.basename(model_path).lower()
+    stem = os.path.splitext(base)[0]
     if base in REGISTRY:
         return base
+    if stem in REGISTRY:                 # "yolov8n.onnx" → yolov8n, not L
+        return stem
     if "yolo7" in base or "yolov7" in base or "itcvd" in base:
         return "yolov7_itcvd"
     if "yolov8" in base or "tokyo" in base:

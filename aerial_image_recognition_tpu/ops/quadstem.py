@@ -114,6 +114,17 @@ def host_s2d2(px: np.ndarray) -> np.ndarray:
     return out if batched else out[0]
 
 
+def host_s2d2_into(px: np.ndarray, out: np.ndarray) -> None:
+    """Single-strided-copy form of host_s2d2: write the s2d^2 relayout of
+    [H,W,C] `px` straight into the preallocated [H/4,W/4,16C] `out` (a
+    batch-buffer row), with no intermediate contiguous temp."""
+    h, w, c = px.shape
+    view = out.reshape(h // 4, w // 4, 2, 2, 2, 2, c)
+    # px dims [R, e, dy, C, f, dx, c] -> out dims [R, C, e, f, dy, dx, c]
+    view[:] = px.reshape(h // 4, 2, 2, w // 4, 2, 2, c).transpose(
+        0, 3, 1, 4, 2, 5, 6)
+
+
 def fold_convbn(p, s, eps: float = 1e-3):
     """One ConvBN scope ({conv,bn} params + bn stats) -> (w, b) f32 deploy
     form (models.layers.fold_batchnorm algebra)."""

@@ -8,6 +8,8 @@ by XLA's automatic psum when the jitted step runs under a Mesh with sharded
 inputs (no hand-written collectives needed — the scaling-book recipe).
 """
 
+import functools
+
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
@@ -78,7 +80,9 @@ def resolve_bn_mode(bundle: ModelBundle, bn_mode: str) -> str:
     """
     if bn_mode != "auto":
         return bn_mode
-    return "frozen" if bundle.spec.family == "yolov7" else "batch"
+    # only yolov8 is KNOWN to require batch; yolov7 and xunet (no residual
+    # trunk) keep the small-data-validated frozen default
+    return "batch" if bundle.spec.family == "yolov8" else "frozen"
 
 
 def make_train_step(bundle: ModelBundle, tx,
@@ -107,23 +111,27 @@ def make_train_step(bundle: ModelBundle, tx,
         return module.apply({"params": params, "batch_stats": batch_stats},
                             x, train=False)
 
+    def _forward_batch(params, batch_stats, x):
+        # functionally pure: the mutated batch_stats are a returned value
+        return module.apply({"params": params, "batch_stats": batch_stats},
+                            x, train=True, mutable=["batch_stats"])
+
     if remat:
         # rematerialize the backbone on the backward pass: trades ~1 extra
         # forward of FLOPs for dropping all intermediate conv activations
         # from HBM — the lever for big device batches at 640 px (task-spec
-        # HBM guidance). Only the frozen-BN path is pure enough to wrap.
+        # HBM guidance)
         _forward_frozen = jax.checkpoint(_forward_frozen)
+        _forward_batch = jax.checkpoint(_forward_batch)
 
     def loss_fn(params, batch_stats, images_u8, targets):
         x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
                              dtype=jnp.bfloat16)
-        variables = {"params": params, "batch_stats": batch_stats}
         if bn_mode == "frozen":
             outs = _forward_frozen(params, batch_stats, x)
             updates = {"batch_stats": batch_stats}
         else:
-            outs, updates = module.apply(variables, x, train=True,
-                                         mutable=["batch_stats"])
+            outs, updates = _forward_batch(params, batch_stats, x)
         lk = loss_kwargs or {}
         if spec.family == "yolov7":
             loss, metrics = yolov7_loss(outs, targets, module.anchors,
@@ -198,21 +206,30 @@ def recalibrate_bn(bundle: ModelBundle, state: Dict, loader,
     if not state.get("batch_stats"):
         return state
     params = state.get("ema_params", state["params"])
-
-    @jax.jit
-    def stats_step(batch_stats, images_u8):
-        x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
-                             dtype=jnp.bfloat16)
-        _, updates = bundle.module.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=True,
-            mutable=["batch_stats"])
-        return updates["batch_stats"]
+    # params passed as an argument (not closed over): a closure would bake
+    # the weight tree into the HLO as constants and recompile every call
+    stats_step = _recalibrate_step(bundle.module)
 
     bs = state["batch_stats"]
     for p in range(passes):
         for images, _targets in loader.epoch(10_000 + p):
-            bs = stats_step(bs, images)
+            bs = stats_step(params, bs, images)
     return dict(state, batch_stats=bs)
+
+
+@functools.lru_cache(maxsize=8)
+def _recalibrate_step(module):
+    # keyed on the (hashable, frozen) flax module so repeated
+    # recalibrations reuse one traced/compiled step
+    @jax.jit
+    def stats_step(params, batch_stats, images_u8):
+        x = preprocess_batch(images_u8, out_size=images_u8.shape[1],
+                             dtype=jnp.bfloat16)
+        _, updates = module.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True,
+            mutable=["batch_stats"])
+        return updates["batch_stats"]
+    return stats_step
 
 
 def fit(bundle: ModelBundle, loader, *, epochs: int = 1,

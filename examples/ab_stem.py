@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aerial_image_recognition_tpu.models.layers import space_to_depth2
+from aerial_image_recognition_tpu.ops.quadstem import s2d_kernel_transform
 
 B, S = 128, 640
 REPS, TRIALS = 10, 6
@@ -33,38 +34,14 @@ def conv(x, w, stride=1, padding="SAME"):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def s2d_kernel(w):
-    """[3,3,Cin,Cout] stride-2 SAME kernel -> [2,2,4*Cin,Cout] stride-1
-    kernel over the space_to_depth2 grid with padding ((0,1),(0,1)).
-
-    SAME stride-2 over even H pads (0,1), so out[y] reads rows 2y..2y+2 =
-    s2d cells y (dy 0,1) and y+1 (dy 0). Channel order matches
-    space_to_depth2's (dy, dx, c) packing.
-    """
-    k, _, cin, cout = w.shape
-    assert k == 3
-    w4 = np.zeros((2, 2, 2, 2, cin, cout), w.dtype)  # [u, v, dy, dx, c, o]
-    for u in range(2):
-        for dy in range(2):
-            ky = 2 * u + dy
-            if ky > 2:
-                continue
-            for v in range(2):
-                for dx in range(2):
-                    kx = 2 * v + dx
-                    if kx > 2:
-                        continue
-                    w4[u, v, dy, dx] = np.asarray(w[ky, kx])
-    return jnp.asarray(w4.reshape(2, 2, 4 * cin, cout))
-
-
 def main():
     rng = np.random.default_rng(0)
     w0 = jnp.asarray(rng.normal(size=(3, 3, 3, 32), scale=0.1), jnp.float32)
     b0 = jnp.asarray(rng.normal(size=(32,), scale=0.1), jnp.float32)
     w1 = jnp.asarray(rng.normal(size=(3, 3, 32, 64), scale=0.1), jnp.float32)
     b1 = jnp.asarray(rng.normal(size=(64,), scale=0.1), jnp.float32)
-    w0s, w1s = s2d_kernel(np.asarray(w0)), s2d_kernel(np.asarray(w1))
+    w0s = s2d_kernel_transform(w0).reshape(2, 2, 12, 32)
+    w1s = s2d_kernel_transform(w1).reshape(2, 2, 128, 64)
 
     def std(x):
         x = leaky(conv(x, w0, 2) + b0.astype(x.dtype))

@@ -59,10 +59,13 @@ def _detections(step, imgs, bounds):
     return out
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.exists(
-        "tests/fixtures/yolov7_tiny_fakeworld.npz"),
-    reason="trained fixture not present")
+FIXTURE = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "fixtures",
+    "yolov7_tiny_fakeworld.npz")
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(FIXTURE),
+                    reason="trained fixture not present")
 def test_detect_step_quad_stem_detection_parity():
     """The production fused step with layout='s2d2' finds the same cars at
     the same coordinates as the standard layout on trained weights."""
@@ -71,7 +74,7 @@ def test_detect_step_quad_stem_detection_parity():
         build_detect_step)
     from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 
-    params_path = "tests/fixtures/yolov7_tiny_fakeworld.npz"
+    params_path = FIXTURE
     kw = dict(model_path="yolov7_itcvd", params_path=params_path,
               confidence_threshold=0.4, dtype="float32")
     cfg_q = DetectorConfig(**kw)

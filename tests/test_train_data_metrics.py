@@ -229,3 +229,39 @@ def test_ema_tracks_and_evaluates(rng):
     # early in training the effective decay is tiny (ramp ~ t/2000), so the
     # EMA should sit close to the raw weights, far from the init
     assert np.abs(e - p).max() < np.abs(p - p0).max()
+
+
+def test_resolve_bn_mode_and_recalibrate():
+    """'auto' resolves per family; recalibrate_bn moves running stats
+    toward the data statistics without touching params (the batch-mode
+    eval-lag fix, round 2)."""
+    import jax
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.data import (
+        DetectionLoader, LoaderConfig, Sample)
+    from aerial_image_recognition_tpu.pipeline.train import (
+        recalibrate_bn, resolve_bn_mode)
+
+    b7 = create_model("yolov7_itcvd", dtype=jnp.float32)
+    b8 = create_model("yolov8n", dtype=jnp.float32)
+    assert resolve_bn_mode(b7, "auto") == "frozen"
+    assert resolve_bn_mode(b8, "auto") == "batch"
+    assert resolve_bn_mode(b8, "frozen") == "frozen"
+
+    rng = np.random.default_rng(0)
+    imgs = {f"k{i}": rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+            for i in range(4)}
+    samples = [Sample(image_path=k, boxes=np.zeros((0, 5), np.float32))
+               for k in imgs]
+    loader = DetectionLoader(
+        samples, LoaderConfig(image_size=64, batch_size=2, max_targets=8,
+                              mosaic=0.0, mixup=0.0, hsv=0.0),
+        decode_fn=lambda k: imgs[k], train=False)
+    state = {"params": b8.params["params"],
+             "batch_stats": b8.params["batch_stats"], "step": 0}
+    before = jax.tree_util.tree_leaves(state["batch_stats"])[0]
+    out = recalibrate_bn(b8, state, loader, passes=1)
+    after = jax.tree_util.tree_leaves(out["batch_stats"])[0]
+    assert out["params"] is state["params"]          # untouched
+    assert not np.allclose(np.asarray(before), np.asarray(after))

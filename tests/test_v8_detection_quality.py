@@ -48,7 +48,7 @@ def test_v8_trained_weights_find_cars():
     rng = np.random.default_rng(0)
     empties = 0
     for lon, lat in zip(
-            world.center_lon + (rng.random(64) - 0.5) * 0.009 / m2lon * m2lon,
+            world.center_lon + (rng.random(64) - 0.5) * 0.009,
             world.center_lat + (rng.random(64) - 0.5) * 0.009):
         bb = (lon - half * m2lon, lat - half * m2lat,
               lon + half * m2lon, lat + half * m2lat)
