@@ -133,6 +133,9 @@ def load_decode() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.jpeg_decode_rgb.restype = ctypes.c_int
+        lib.pack_quad_u8.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_void_p]
+        lib.pack_quad_u8.restype = ctypes.c_int
         _dec_lib = lib
         return _dec_lib
 
@@ -158,6 +161,23 @@ def decode_jpeg_native(data: bytes,
     if rc != 0:
         return None
     return out
+
+
+def pack_quad_native(px: np.ndarray, out: np.ndarray) -> bool:
+    """Quad-layout pack [H,W,3] u8 -> [H/4,W/4,48] u8 via the native
+    12-byte-run copier (GIL released, so it parallelizes across ingest
+    threads). False if the native library is unavailable or shapes don't
+    qualify — caller falls back to the numpy strided copy."""
+    lib = load_decode()
+    if (lib is None or px.dtype != np.uint8 or out.dtype != np.uint8
+            or px.ndim != 3 or px.shape[2] != 3 or (px.shape[0] % 4)
+            or (px.shape[1] % 4)
+            or not px.flags.c_contiguous or not out.flags.c_contiguous):
+        return False
+    rc = lib.pack_quad_u8(px.ctypes.data_as(ctypes.c_void_p),
+                          px.shape[0], px.shape[1],
+                          out.ctypes.data_as(ctypes.c_void_p))
+    return rc == 0
 
 
 def points_in_rings_native(points: np.ndarray, rings) -> Optional[np.ndarray]:

@@ -11,19 +11,38 @@ from aerial_image_recognition_tpu.models.registry import create_model
 from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
 
 
-def test_host_s2d2_matches_device_layout():
+def _quad_layout_reference(px):
+    """Element-by-element definition of the quad layout:
+    out[R, C, (e, dy, f, dx, c)] = px[4R + 2e + dy, 4C + 2f + dx, c]."""
+    h, w, c = px.shape
+    out = np.empty((h // 4, w // 4, 16 * c), px.dtype)
+    for R in range(h // 4):
+        for C in range(w // 4):
+            k = 0
+            for e in range(2):
+                for dy in range(2):
+                    for f in range(2):
+                        for dx in range(2):
+                            out[R, C, k:k + c] = px[4 * R + 2 * e + dy,
+                                                    4 * C + 2 * f + dx]
+                            k += c
+    return out
+
+
+def test_host_s2d2_matches_layout_definition():
     rng = np.random.default_rng(0)
-    px = rng.integers(0, 256, (96, 128, 3)).astype(np.uint8)
+    px = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
     got = host_s2d2(px)
-    want = np.asarray(space_to_depth2(space_to_depth2(
-        jnp.asarray(px[None]))))[0]
-    assert got.shape == (24, 32, 48)
-    np.testing.assert_array_equal(got, want)
-    # batched form
+    assert got.shape == (6, 8, 48)
+    np.testing.assert_array_equal(got, _quad_layout_reference(px))
+    # batched form and the in-place variant agree
+    from aerial_image_recognition_tpu.ops.quadstem import host_s2d2_into
     b = rng.integers(0, 256, (3, 64, 64, 3)).astype(np.uint8)
-    np.testing.assert_array_equal(
-        host_s2d2(b),
-        np.asarray(space_to_depth2(space_to_depth2(jnp.asarray(b)))))
+    hb = host_s2d2(b)
+    for i in range(3):
+        out = np.empty((16, 16, 48), np.uint8)
+        host_s2d2_into(b[i], out)
+        np.testing.assert_array_equal(out, hb[i])
 
 
 @pytest.mark.parametrize("name", ["yolov7_itcvd", "yolov8_tokyo"])
