@@ -11,12 +11,10 @@ fixed layer/SRS configs.
 """
 
 import concurrent.futures as cf
-import io
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
 from aerial_image_recognition_tpu.fetch.http import TileHTTP
 from aerial_image_recognition_tpu.fetch.xyz import TileImage

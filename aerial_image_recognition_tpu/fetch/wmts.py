@@ -8,14 +8,12 @@ with xml.etree (owslib replacement); KVP GetTile requests.
 """
 
 import concurrent.futures as cf
-import io
 import math
 import xml.etree.ElementTree as ET
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
 from aerial_image_recognition_tpu.fetch.http import TileHTTP
 from aerial_image_recognition_tpu.fetch.xyz import TileImage
@@ -84,8 +82,15 @@ def _epsg_of(crs_text: Optional[str]) -> Optional[int]:
     return int(tail) if tail.isdigit() else None
 
 
+# projected (east-first) CRSs that live inside the otherwise-geographic
+# 4xxx block (e.g. World Equidistant Cylindrical / Mercator variants)
+_EAST_FIRST_4XXX = {4087, 4088}
+
+
 def _is_north_first(epsg: Optional[int]) -> bool:
     if epsg is None:
+        return False
+    if epsg in _EAST_FIRST_4XXX:
         return False
     # geographic CRSs (lat,lon authority order) live in the 4xxx block
     return epsg in _NORTH_FIRST_EPSG or 4000 <= epsg < 5000

@@ -14,14 +14,12 @@ hot path.
 """
 
 import concurrent.futures as cf
-import io
 import math
 import threading
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-from PIL import Image
 
 from aerial_image_recognition_tpu.fetch.cache import TileCache
 from aerial_image_recognition_tpu.fetch.http import TileHTTP

@@ -146,7 +146,7 @@ class CarDetector:
 
         fetcher = self._make_fetcher(center_lat=(bounds[1] + bounds[3]) / 2)
         step = self._detect_step or build_detect_step(
-            c, batch=c.device_batch,
+            self._step_config(), batch=c.device_batch,
             src_size=self._src_size(fetcher, bounds),
             mesh=self._make_mesh())
 
@@ -244,6 +244,31 @@ class CarDetector:
         """
         from aerial_image_recognition_tpu.parallel.mesh import mesh_from_flag
         return mesh_from_flag(self.config.extra.get("data_parallel"))
+
+    def _step_config(self):
+        """Detection-step config with slot counts scaled to the tile
+        footprint: the 64-slot / 256-candidate defaults were tuned for
+        64 m tiles (BASELINE.md NMS A/B); bigger tiles see proportionally
+        more cars, so when the user left the defaults in place they scale
+        with tile area (capped by the Pallas NMS VMEM budget). Explicit
+        values are respected as-is."""
+        import dataclasses
+        import math
+
+        c = self.config
+        area = (c.tile_size_meters / 64.0) ** 2
+        if area <= 1.0:
+            return c
+        out = c
+        if c.max_detections_per_tile == 64:   # class default → auto-scale
+            out = dataclasses.replace(
+                out, max_detections_per_tile=min(
+                    256, 64 * 2 ** math.ceil(math.log2(area))))
+        if "nms_pre_topk" not in c.extra:
+            out = dataclasses.replace(out, extra=dict(
+                c.extra, nms_pre_topk=min(
+                    1024, 256 * 2 ** math.ceil(math.log2(area)))))
+        return out
 
     def _src_size(self, fetcher, bounds) -> int:
         if isinstance(fetcher, XYZFetcher):

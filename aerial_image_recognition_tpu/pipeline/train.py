@@ -41,7 +41,11 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4,
     — the ultralytics recipe the reference trained with is a 3-epoch warmup
     into a decay toward lr·lrf (lrf=0.01 default); both decays need
     total_steps."""
-    if schedule != "constant":
+    if schedule == "constant" and warmup_steps:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, max(warmup_steps, 1)),
+             optax.constant_schedule(lr)], [warmup_steps])
+    elif schedule != "constant":
         if not total_steps:
             raise ValueError(f"schedule={schedule!r} requires total_steps")
         end = lr * final_lr_frac
@@ -270,8 +274,15 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     else:
         # duck-typed loaders can expose steps_per_epoch directly; the
         # standard DetectionLoader derives it from samples/batch
-        steps_per_epoch = getattr(loader, "steps_per_epoch", None) or max(
-            1, len(loader.samples) // max(loader.cfg.batch_size, 1))
+        steps_per_epoch = getattr(loader, "steps_per_epoch", None)
+        if steps_per_epoch is None:
+            try:
+                steps_per_epoch = max(
+                    1, len(loader.samples) // max(loader.cfg.batch_size, 1))
+            except AttributeError:
+                raise ValueError(
+                    "lr schedules need the steps-per-epoch: expose a "
+                    "steps_per_epoch attribute on custom loaders") from None
         tx = make_optimizer(
             lr=lr, schedule=lr_schedule,
             total_steps=steps_per_epoch * epochs,
@@ -286,9 +297,10 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     if ckpt_dir:
         from aerial_image_recognition_tpu.runtime.train_ckpt import (
             load_train_state)
+        import re as _re
         done = sorted(int(d.split("_")[-1])
                       for d in os.listdir(ckpt_dir)
-                      if d.startswith("epoch_")) if os.path.isdir(
+                      if _re.fullmatch(r"epoch_\d+", d)) if os.path.isdir(
                           ckpt_dir) else []
         if done:
             start_epoch = done[-1] + 1

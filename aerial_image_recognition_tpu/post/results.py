@@ -20,6 +20,42 @@ from aerial_image_recognition_tpu.post.dedup import dedup_records
 from aerial_image_recognition_tpu.geo.tmerc import utm_epsg
 
 
+def _proximity_components(x, y, radius: float):
+    """Connected components of the ≤radius proximity graph over points in
+    local meters → int label per point. Grid-bucketed union-find, O(n·k)
+    like the dedup itself."""
+    import numpy as np
+
+    n = len(x)
+    parent = np.arange(n)
+
+    def find(i):
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    cell = {}
+    cx = np.floor(x / max(radius, 1e-9)).astype(np.int64)
+    cy = np.floor(y / max(radius, 1e-9)).astype(np.int64)
+    for i in range(n):
+        cell.setdefault((cx[i], cy[i]), []).append(i)
+    r2 = radius * radius
+    for i in range(n):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cell.get((cx[i] + dx, cy[i] + dy), ()):
+                    if j <= i:
+                        continue
+                    if (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2 <= r2:
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[rj] = ri
+    return np.array([find(i) for i in range(n)])
+
+
 class ResultsManager:
     def __init__(self, output_dir: str, prefix: str = "detections",
                  duplicate_distance: float = 1.0,
@@ -80,18 +116,32 @@ class ResultsManager:
         if active_bounds is None:
             retained = keep
         else:
+            # Soundness via the proximity graph: future arrivals land
+            # INSIDE active_bounds, can directly touch only records within
+            # one radius of it, and suppression/resurrection cascades only
+            # propagate along ≤radius links — i.e. within a connected
+            # component. A component with no member within one radius of
+            # the active bbox is therefore final (even a future record
+            # bridging two components sits inside the bbox, so both
+            # bridged components already count as near). Suppressed
+            # records are destroyed only in final components — this holds
+            # for arbitrarily long suppression chains, unlike a fixed
+            # distance margin.
             w, s, e, n = active_bounds
-            # margin: new arrivals land inside the active region; one chain
-            # hop can reach radius beyond, use 3× radius for slack (deeper
-            # suppression chains need monotone-confidence links every
-            # ≤radius — negligible)
-            margin = 3.0 * self.duplicate_distance
-            m_lat = margin / 111319.9
-            m_lon = margin / (111319.9 * max(
-                0.1, math.cos(math.radians((s + n) / 2))))
-            near_active = ((lon >= w - m_lon) & (lon <= e + m_lon)
-                           & (lat >= s - m_lat) & (lat <= n + m_lat))
-            retained = keep | near_active
+            r = self.duplicate_distance
+            lat0 = (s + n) / 2
+            mx = 111319.9 * max(0.1, math.cos(math.radians(lat0)))
+            my = 111319.9
+            x = (lon - w) * mx
+            y = (lat - s) * my
+            comp = _proximity_components(x, y, r)
+            m_lat = r / my
+            m_lon = r / mx
+            near = ((lon >= w - m_lon) & (lon <= e + m_lon)
+                    & (lat >= s - m_lat) & (lat <= n + m_lat))
+            marked = np.zeros(comp.max() + 1, dtype=bool)
+            marked[comp[near]] = True
+            retained = keep | marked[comp]
         before = len(self.detections)
         self.detections = [r for r, k in zip(self.detections, retained) if k]
         return before - len(self.detections)

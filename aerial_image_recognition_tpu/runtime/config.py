@@ -61,7 +61,6 @@ class DetectorConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # None → all devices, 1-D data mesh
     data_axis: str = "data"
     prefetch_batches: int = 4            # host→device pipeline depth
-    donate_input: bool = True
 
     # --- Resilience / observability ---
     fetch_timeout: float = 10.0

@@ -72,8 +72,10 @@ def bench_e2e():
 
     # Warmup: compile + first H2D (first device_put through the tunnel is
     # far slower than steady state)
-    warm = list(assemble_batches(tile_iter(), batch, 640,
-                                 layout=step.input_layout))[:2]
+    import itertools
+    warm = list(itertools.islice(
+        assemble_batches(tile_iter(), batch, 640,
+                         layout=step.input_layout), 2))
     run_pipeline(warm, step, on_result)
 
     t0 = time.perf_counter()
