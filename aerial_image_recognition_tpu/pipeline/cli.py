@@ -140,7 +140,36 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("--out-mask")
     pm.add_argument("--out-polygons")
 
+    pe = sub.add_parser("export", help="export a trained checkpoint as a "
+                        "reference-format .onnx initializer blob (torch "
+                        "state-dict names, deploy-fused IDetect)")
+    pe.add_argument("params", help="framework .npz checkpoint")
+    pe.add_argument("out", help="output .onnx path")
+    pe.add_argument("--model", default="yolov7_itcvd")
+
     args = parser.parse_args(argv)
+
+    if args.command == "export":
+        import jax.numpy as jnp
+        from aerial_image_recognition_tpu.models.import_torch import (
+            export_torch_state, yolov7_tiny_mapping)
+        from aerial_image_recognition_tpu.models.onnx_lite import (
+            write_minimal_onnx)
+        from aerial_image_recognition_tpu.models.registry import (
+            create_model)
+        bundle = create_model(args.model, dtype=jnp.float32,
+                              params_path=args.params)
+        if not (bundle.spec.family == "yolov7"
+                and getattr(bundle.module, "variant", "") == "tiny"):
+            raise SystemExit("export currently supports the yolov7-tiny "
+                             "family (the reference's primary model)")
+        import jax
+        params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), bundle.params)
+        tensors = export_torch_state(params, yolov7_tiny_mapping())
+        write_minimal_onnx(args.out, tensors)
+        print(json.dumps({"out": args.out, "tensors": len(tensors)}))
+        return 0
 
     if args.command == "doctor":
         from aerial_image_recognition_tpu.runtime.doctor import main as doc

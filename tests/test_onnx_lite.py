@@ -51,3 +51,33 @@ def test_onnx_feeds_torch_mapping(tmp_path):
     ref_leaf = variables["params"]["elan1"]["cv1"]["conv"]["kernel"]
     got_leaf = restored["params"]["elan1"]["cv1"]["conv"]["kernel"]
     np.testing.assert_array_equal(np.asarray(got_leaf), np.asarray(ref_leaf))
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """CLI `export` writes a reference-format .onnx initializer blob that
+    imports back to the identical weight tree (the switch-back path for
+    users returning to the reference's onnxruntime flow)."""
+    import os
+
+    import numpy as np
+
+    from aerial_image_recognition_tpu.models.import_torch import (
+        import_torch_state, yolov7_tiny_mapping)
+    from aerial_image_recognition_tpu.models.onnx_lite import (
+        load_onnx_initializers)
+    from aerial_image_recognition_tpu.models.registry import load_params
+    from aerial_image_recognition_tpu.pipeline.cli import main
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "yolov7_tiny_fakeworld.npz")
+    if not os.path.exists(fixture):
+        import pytest
+        pytest.skip("trained fixture not present")
+    out = str(tmp_path / "exported.onnx")
+    assert main(["export", fixture, out]) == 0
+    back = import_torch_state(load_onnx_initializers(out),
+                              yolov7_tiny_mapping())
+    orig = load_params(fixture)
+    a = np.asarray(orig["params"]["stem0"]["conv"]["kernel"], np.float32)
+    b = np.asarray(back["params"]["stem0"]["conv"]["kernel"], np.float32)
+    np.testing.assert_array_equal(a, b)
