@@ -144,3 +144,25 @@ def test_assemble_batches_s2d2_layout():
     np.testing.assert_array_equal(batches[0].images[0],
                                   host_s2d2(tiles[0][1].pixels))
     assert batches[1].n_valid == 1
+
+
+def test_use_quad_stem_gating():
+    """Pixel-space options and resize paths must fall back to the
+    standard stems (the quad layout skips preprocess entirely)."""
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        use_quad_stem)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    b = create_model("yolov7_itcvd", dtype=jnp.bfloat16, seed=0)
+    assert use_quad_stem(b, DetectorConfig())
+    assert not use_quad_stem(b, DetectorConfig(extra={"tta": True}))
+    assert not use_quad_stem(b, DetectorConfig(
+        extra={"multiscale": [0.85, 1.0]}))
+    assert not use_quad_stem(b, DetectorConfig(
+        extra={"enhance_shadows": True}))
+    assert not use_quad_stem(b, DetectorConfig(extra={"quad_stem": False}))
+    # resize (src != model) and crop paths keep the [B,S,S,3] contract
+    assert not use_quad_stem(b, DetectorConfig(), src_size=864)
+    assert not use_quad_stem(b, DetectorConfig(), crop_size=864)
+    assert use_quad_stem(b, DetectorConfig(), src_size=96, model_size=96)
+    assert not use_quad_stem(b, DetectorConfig(), model_size=90)  # %4
