@@ -19,6 +19,27 @@ from typing import Dict, Optional
 
 import requests
 from requests.adapters import HTTPAdapter
+
+
+def _retry_after_seconds(value, default: float) -> float:
+    """Retry-After per RFC 7231: delta-seconds OR an HTTP-date. Returns
+    `default` when absent/unparseable (a crashing float() here used to
+    kill the fetch worker on date-form headers)."""
+    if not value:
+        return default
+    try:
+        return max(0.0, float(value))
+    except ValueError:
+        pass
+    try:
+        from email.utils import parsedate_to_datetime
+        import datetime
+
+        dt = parsedate_to_datetime(value)
+        now = datetime.datetime.now(datetime.timezone.utc)
+        return max(0.0, (dt - now).total_seconds())
+    except Exception:
+        return default
 from urllib3.util.retry import Retry
 
 
@@ -32,6 +53,7 @@ class FetchStats:
     rate_limited: int = 0
     bytes_fetched: int = 0
     total_time: float = 0.0
+    started: Optional[float] = None      # first-request wall clock
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def record(self, ok: bool, dt: float, nbytes: int = 0,
@@ -39,6 +61,8 @@ class FetchStats:
         with self._lock:
             self.requests += 1
             self.total_time += dt
+            if self.started is None:
+                self.started = time.time()
             if ok:
                 self.successes += 1
                 self.bytes_fetched += nbytes
@@ -49,7 +73,10 @@ class FetchStats:
 
     def summary(self) -> Dict:
         with self._lock:
-            rate = self.successes / self.total_time if self.total_time else 0.0
+            # wall-clock rate: per-request durations summed across N
+            # worker threads would understate throughput ~N-fold
+            wall = (time.time() - self.started) if self.started else 0.0
+            rate = self.successes / wall if wall > 0 else 0.0
             return {
                 "requests": self.requests, "successes": self.successes,
                 "failures": self.failures, "timeouts": self.timeouts,
@@ -126,6 +153,7 @@ class TileHTTP:
         """GET with exponential backoff; returns body bytes or None."""
         delay = self.backoff
         for attempt in range(self.retries):
+            last = attempt == self.retries - 1   # no pointless final sleep
             t0 = time.time()
             try:
                 r = self.session.get(url, params=params, timeout=self.timeout)
@@ -137,22 +165,25 @@ class TileHTTP:
                     self.stats.record(False, time.time() - t0,
                                       ratelimited=True)
                     self.failures.add(url, f"HTTP429", attempt)
-                    retry_after = r.headers.get("Retry-After")
-                    wait = float(retry_after) if retry_after else delay
-                    time.sleep(min(wait, 30.0))
+                    if not last:
+                        time.sleep(min(_retry_after_seconds(
+                            r.headers.get("Retry-After"), delay), 30.0))
                 else:
                     self.stats.record(False, time.time() - t0)
                     self.failures.add(url, f"HTTP{r.status_code}", attempt)
-                    time.sleep(delay)
+                    if not last:
+                        time.sleep(delay)
             except requests.Timeout:
                 self.stats.record(False, time.time() - t0, timeout=True)
                 self.failures.add(url, "Timeout", attempt)
-                time.sleep(delay)
+                if not last:
+                    time.sleep(delay)
             except requests.RequestException as e:
                 self.stats.record(False, time.time() - t0)
                 self.failures.add(url, type(e).__name__ + ":" + str(e)[:80],
                                   attempt)
-                time.sleep(delay)
+                if not last:
+                    time.sleep(delay)
             delay = min(delay * 2, 8.0) * (1.0 + random.random() * 0.1)
         return None
 

@@ -10,18 +10,14 @@ from typing import Sequence
 
 import numpy as np
 
-from aerial_image_recognition_tpu.geo.tmerc import tm_forward, tm_inverse, utm_epsg, utm_params
+from aerial_image_recognition_tpu.geo.tmerc import (
+    tm_forward, tm_inverse, utm_params_for)
 from aerial_image_recognition_tpu.geo.polygon import points_in_polygon
 
 
 def _utm_for_bounds(bounds):
     minx, miny, maxx, maxy = bounds
-    center_lon = (minx + maxx) / 2.0
-    center_lat = (miny + maxy) / 2.0
-    epsg = utm_epsg(center_lon, center_lat)
-    zone = epsg % 100
-    south = epsg >= 32700
-    return utm_params(zone, south=south), epsg
+    return utm_params_for((minx + maxx) / 2.0, (miny + maxy) / 2.0)
 
 
 def tile_grid_utm(bounds, tile_size_meters: float, overlap: float = 0.1):
@@ -34,8 +30,14 @@ def tile_grid_utm(bounds, tile_size_meters: float, overlap: float = 0.1):
     """
     params, epsg = _utm_for_bounds(bounds)
     minx, miny, maxx, maxy = bounds
-    utm_minx, utm_miny = tm_forward(minx, miny, params)
-    utm_maxx, utm_maxy = tm_forward(maxx, maxy, params)
+    # project ALL FOUR corners: meridian convergence bends constant-lon
+    # edges in UTM, so the two-corner extent (which the reference uses,
+    # _script/utils.py:40-41) can drop a tile column/row at the AOI edge
+    # — a silent coverage gap at city scale
+    cx, cy = tm_forward(np.array([minx, minx, maxx, maxx]),
+                        np.array([miny, maxy, miny, maxy]), params)
+    utm_minx, utm_maxx = float(np.min(cx)), float(np.max(cx))
+    utm_miny, utm_maxy = float(np.min(cy)), float(np.max(cy))
     step = tile_size_meters * (1.0 - overlap)
     # while x < max: exclusive upper bound, same as the reference loop
     xs = np.arange(utm_minx, utm_maxx, step, dtype=np.float64)

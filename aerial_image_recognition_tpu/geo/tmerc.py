@@ -56,6 +56,13 @@ def utm_epsg(lon: float, lat: float) -> int:
 
 
 @lru_cache(maxsize=None)
+def utm_params_for(lon: float, lat: float):
+    """(TMParams, epsg) of the UTM zone containing (lon, lat) — the
+    zone-selection idiom shared by tiling, dedup, and the heatmap."""
+    epsg = utm_epsg(float(lon), float(lat))
+    return utm_params(epsg % 100, south=epsg >= 32700), epsg
+
+
 def utm_params(zone: int, south: bool = False) -> TMParams:
     return TMParams(
         WGS84,
@@ -107,7 +114,10 @@ def tm_forward(lon, lat, params: TMParams, xp=np):
     A, alpha, _ = _series_coeffs(ell.a, ell.f)
     e = ell.e
 
-    lam = xp.radians(xp.asarray(lon) - params.lon0)
+    # wrap into [-180, 180] so AOIs crossing the antimeridian (zone 60
+    # data at lon=-179.9 with lon0=+177) don't produce garbage eastings
+    dlon = (xp.asarray(lon) - params.lon0 + 180.0) % 360.0 - 180.0
+    lam = xp.radians(dlon)
     phi = xp.radians(xp.asarray(lat))
 
     sphi = xp.sin(phi)

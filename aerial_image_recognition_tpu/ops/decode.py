@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from aerial_image_recognition_tpu.models.yolov7 import STRIDES as V7_STRIDES
+from aerial_image_recognition_tpu.models.yolov8 import STRIDES as V8_STRIDES
 from aerial_image_recognition_tpu.models.yolov8 import REG_MAX
 
 
@@ -54,7 +55,7 @@ def decode_yolov7(outs: List[jnp.ndarray],
 
 
 def decode_yolov8(outs: List[jnp.ndarray], num_classes: int,
-                  strides: Sequence[int] = V7_STRIDES):
+                  strides: Sequence[int] = V8_STRIDES):
     """Anchor-free DFL decode: per-side softmax expectation over REG_MAX bins
     → ltrb distances from cell centers → cxcywh pixels; scores = σ(cls).
 

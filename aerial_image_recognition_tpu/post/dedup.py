@@ -20,13 +20,11 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-from aerial_image_recognition_tpu.geo.tmerc import tm_forward, utm_epsg, utm_params
+from aerial_image_recognition_tpu.geo.tmerc import tm_forward, utm_params_for
 
 
 def _to_utm(lon: np.ndarray, lat: np.ndarray):
-    epsg = utm_epsg(float(lon[0]), float(lat[0]))
-    zone = epsg % 100
-    p = utm_params(zone, south=epsg >= 32700)
+    p, _ = utm_params_for(float(lon[0]), float(lat[0]))
     x, y = tm_forward(lon, lat, p)
     return np.asarray(x), np.asarray(y)
 

@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from aerial_image_recognition_tpu.geo.tmerc import (
-    tm_forward, tm_inverse, utm_epsg, utm_params,
+    tm_forward, tm_inverse, utm_params_for,
 )
 
 
@@ -53,8 +53,7 @@ def hex_heatmap(records: Sequence[dict], hex_size_m: float = 50.0,
         lon = np.array([d["lon"] for d in records])
         lat = np.array([d["lat"] for d in records])
         conf = np.array([d.get("confidence", 1.0) for d in records])
-        epsg = utm_epsg(float(lon[0]), float(lat[0]))
-        p = utm_params(epsg % 100, south=epsg >= 32700)
+        p, epsg = utm_params_for(float(lon[0]), float(lat[0]))
         x, y = tm_forward(lon, lat, p)
         x0, y0 = float(np.min(x)), float(np.min(y))
 

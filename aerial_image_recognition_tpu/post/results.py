@@ -103,8 +103,6 @@ class ResultsManager:
         """
         if not self.detections or self.duplicate_distance <= 0:
             return 0
-        import math
-
         import numpy as np
 
         from aerial_image_recognition_tpu.post.dedup import dedup_host
@@ -129,16 +127,16 @@ class ResultsManager:
             # distance margin.
             w, s, e, n = active_bounds
             r = self.duplicate_distance
-            lat0 = (s + n) / 2
-            mx = 111319.9 * max(0.1, math.cos(math.radians(lat0)))
-            my = 111319.9
-            x = (lon - w) * mx
-            y = (lat - s) * my
+            # components in the SAME UTM frame dedup_host measures in —
+            # an approximate metric could disagree about threshold-distance
+            # links and misclassify a component as final
+            from aerial_image_recognition_tpu.post.dedup import _to_utm
+            x, y = _to_utm(lon, lat)
             comp = _proximity_components(x, y, r)
-            m_lat = r / my
-            m_lon = r / mx
-            near = ((lon >= w - m_lon) & (lon <= e + m_lon)
-                    & (lat >= s - m_lat) & (lat <= n + m_lat))
+            bx, by = _to_utm(np.array([lon[0], w, e, w, e]),
+                             np.array([lat[0], s, s, n, n]))
+            near = ((x >= bx[1:].min() - r) & (x <= bx[1:].max() + r)
+                    & (y >= by[1:].min() - r) & (y <= by[1:].max() + r))
             marked = np.zeros(comp.max() + 1, dtype=bool)
             marked[comp[near]] = True
             retained = keep | marked[comp]

@@ -93,3 +93,24 @@ def test_ring_area_sign():
     ccw = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
     assert ring_area(ccw) > 0
     assert ring_area(ccw[::-1]) < 0
+
+
+def test_tile_grid_covers_all_corners_despite_convergence():
+    """Meridian convergence bends constant-lon edges in UTM; the grid must
+    cover all four projected AOI corners (the reference's two-corner
+    extent drops a tile column at the NW/SW corner ~1 deg off the central
+    meridian — _script/utils.py:40-41)."""
+    import numpy as np
+
+    from aerial_image_recognition_tpu.geo.tiles import tile_grid_utm
+    from aerial_image_recognition_tpu.geo.tmerc import tm_forward
+
+    # zone 34 (lon0=21): AOI ~2 deg east of the central meridian, tall
+    bounds = (22.9, 50.0, 23.0, 51.0)
+    xs, ys, params, _ = tile_grid_utm(bounds, 64.0, overlap=0.2)
+    minx, miny, maxx, maxy = bounds
+    cx, cy = tm_forward(np.array([minx, minx, maxx, maxx]),
+                        np.array([miny, maxy, miny, maxy]), params)
+    # every corner easting/northing inside [first origin, last tile end]
+    assert xs[0] <= cx.min() and cx.max() <= xs[-1] + 64.0
+    assert ys[0] <= cy.min() and cy.max() <= ys[-1] + 64.0

@@ -183,3 +183,17 @@ def test_webmercator_known_values():
     lon, lat = webmercator_to_lonlat(20037508.342789244, 20037508.342789244)
     assert abs(lon - 180.0) < 1e-9
     assert abs(lat - 85.05112877980659) < 1e-9
+
+
+def test_tm_forward_antimeridian_wrap():
+    """Longitudes are equivalent mod 360: zone-60 data expressed as
+    -179.9 must project identically to +180.1 (dedup across the seam)."""
+    from aerial_image_recognition_tpu.geo.tmerc import tm_forward, utm_params
+
+    p = utm_params(60)                      # lon0 = +177
+    x1, y1 = tm_forward(-179.9, -41.0, p)
+    x2, y2 = tm_forward(180.1, -41.0, p)
+    assert abs(float(x1) - float(x2)) < 1e-6
+    assert abs(float(y1) - float(y2)) < 1e-6
+    # and the easting is a sane near-zone value, not a wrapped garbage one
+    assert 100_000 < float(x1) < 900_000
