@@ -11,7 +11,7 @@ from typing import Sequence
 import numpy as np
 
 from aerial_image_recognition_tpu.geo.tmerc import (
-    tm_forward, tm_inverse, utm_params_for)
+    tm_forward, tm_inverse, utm_extent, utm_params_for)
 from aerial_image_recognition_tpu.geo.polygon import points_in_polygon
 
 
@@ -29,15 +29,11 @@ def tile_grid_utm(bounds, tile_size_meters: float, overlap: float = 0.1):
     (_script/utils.py:43-63).
     """
     params, epsg = _utm_for_bounds(bounds)
-    minx, miny, maxx, maxy = bounds
-    # project ALL FOUR corners: meridian convergence bends constant-lon
-    # edges in UTM, so the two-corner extent (which the reference uses,
+    # full covering extent: meridian convergence bends constant-lon edges
+    # in UTM, so the two-corner extent (which the reference uses,
     # _script/utils.py:40-41) can drop a tile column/row at the AOI edge
-    # — a silent coverage gap at city scale
-    cx, cy = tm_forward(np.array([minx, minx, maxx, maxx]),
-                        np.array([miny, maxy, miny, maxy]), params)
-    utm_minx, utm_maxx = float(np.min(cx)), float(np.max(cx))
-    utm_miny, utm_maxy = float(np.min(cy)), float(np.max(cy))
+    # — a silent coverage gap at city scale (geo.tmerc.utm_extent)
+    utm_minx, utm_miny, utm_maxx, utm_maxy = utm_extent(bounds, params)
     step = tile_size_meters * (1.0 - overlap)
     # while x < max: exclusive upper bound, same as the reference loop
     xs = np.arange(utm_minx, utm_maxx, step, dtype=np.float64)

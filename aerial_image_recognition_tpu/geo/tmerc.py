@@ -56,6 +56,27 @@ def utm_epsg(lon: float, lat: float) -> int:
 
 
 @lru_cache(maxsize=None)
+def utm_extent(bounds, params) -> tuple:
+    """(min_e, min_n, max_e, max_n) of a WGS84 bbox in the TM frame,
+    covering the whole bbox: corner points plus — when the central
+    meridian crosses the bbox — the CM intersections of the south/north
+    edges, where constant-latitude northing is extremal (grid lines curve
+    away from the CM; two-corner extents under-cover)."""
+    import numpy as np
+
+    minx, miny, maxx, maxy = bounds
+    lons = [minx, maxx]
+    if minx < params.lon0 < maxx:
+        lons.append(params.lon0)
+    pts_lon, pts_lat = [], []
+    for lo in lons:
+        pts_lon += [lo, lo]
+        pts_lat += [miny, maxy]
+    x, y = tm_forward(np.asarray(pts_lon), np.asarray(pts_lat), params)
+    return (float(np.min(x)), float(np.min(y)),
+            float(np.max(x)), float(np.max(y)))
+
+
 def utm_params_for(lon: float, lat: float):
     """(TMParams, epsg) of the UTM zone containing (lon, lat) — the
     zone-selection idiom shared by tiling, dedup, and the heatmap."""

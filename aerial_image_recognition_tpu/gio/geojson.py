@@ -35,7 +35,7 @@ def detections_to_feature_collection(records: Sequence[dict],
 def feature_collection_to_detections(fc: Dict) -> List[dict]:
     out = []
     for f in fc.get("features", []):
-        if f.get("geometry", {}).get("type") != "Point":
+        if (f.get("geometry") or {}).get("type") != "Point":
             continue
         lon, lat = f["geometry"]["coordinates"][:2]
         rec = {"lon": lon, "lat": lat,
@@ -82,7 +82,9 @@ def read_polygons(fc_or_path) -> List[List]:
     feats = fc["features"] if fc.get("type") == "FeatureCollection" else [fc]
     for f in feats:
         g = f.get("geometry", f)
-        if g["type"] == "Polygon":
+        if not g or not isinstance(g, dict):
+            continue                      # null geometry is legal GeoJSON
+        if g.get("type") == "Polygon":
             polys.append([np.asarray(r, dtype=np.float64)
                           for r in g["coordinates"]])
         elif g["type"] == "MultiPolygon":

@@ -64,8 +64,8 @@ def _read_entries(data: bytes, off: int, endian: str) -> Dict:
         if size > 4:
             (voff,) = struct.unpack_from(endian + "I", data, voff)
         fmt = _TYPE_FMT.get(typ)
-        if fmt is None:
-            continue
+        if fmt is None and typ not in (2, 5):
+            continue        # unhandled exotic type (2/5 have own branches)
         if typ == 2:   # ascii
             vals = data[voff:voff + count].split(b"\0")[0].decode("latin1")
         elif typ == 5:  # rational

@@ -35,20 +35,27 @@ def split_aoi_stripes(bounds, n_shards: int, halo_m: float = 64.0):
     per-server queue sharding idea of the reference's mt0-mt3 round-robin
     (simple_detector.py:176-179) lifted to AOI space.
     """
+    from aerial_image_recognition_tpu.geo.tmerc import tm_inverse
+
     minx, miny, maxx, maxy = bounds
     epsg = utm_epsg((minx + maxx) / 2, (miny + maxy) / 2)
     p = utm_params(epsg % 100, south=epsg >= 32700)
-    ux0, uy0 = tm_forward(minx, miny, p)
-    ux1, uy1 = tm_forward(maxx, maxy, p)
+    # full covering UTM extent (meridian convergence — see
+    # geo.tmerc.utm_extent; two corners would under-cover)
+    from aerial_image_recognition_tpu.geo.tmerc import utm_extent
+    ux0, uy0, ux1, uy1 = utm_extent(bounds, p)
     edges = np.linspace(ux0, ux1, n_shards + 1)
     stripes = []
     for i in range(n_shards):
         x0 = edges[i] - (halo_m if i > 0 else 0.0)
         x1 = edges[i + 1] + (halo_m if i < n_shards - 1 else 0.0)
-        from aerial_image_recognition_tpu.geo.tmerc import tm_inverse
-        w, s = tm_inverse(x0, uy0, p)
-        e, n = tm_inverse(x1, uy1, p)
-        stripes.append((float(w), float(s), float(e), float(n)))
+        # stripe rect in WGS84 from all four stripe corners, expanded
+        # outward: constant-UTM-x boundaries tilt vs meridians, so taking
+        # one corner per edge leaves unfetched slivers between stripes
+        sx, sy = tm_inverse(np.array([x0, x0, x1, x1]),
+                            np.array([uy0, uy1, uy0, uy1]), p)
+        stripes.append((float(np.min(sx)), float(np.min(sy)),
+                        float(np.max(sx)), float(np.max(sy))))
     return np.asarray(stripes), p, (edges[:-1], edges[1:])
 
 

@@ -33,8 +33,9 @@ from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 class _Pending:
     image: np.ndarray
     bounds: np.ndarray
+    deadline: float = 0.0                 # perf_counter after which the
     event: threading.Event = field(default_factory=threading.Event)
-    result: Optional[List[dict]] = None
+    result: Optional[List[dict]] = None   # waiter has already given up
     error: Optional[str] = None
 
 
@@ -56,7 +57,8 @@ class DetectionServer:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "detections": 0,
-                      "errors": 0, "batch_fill_sum": 0, "compute_s": 0.0}
+                      "errors": 0, "timeouts": 0, "batch_fill_sum": 0,
+                      "compute_s": 0.0}
         self._stats_lock = threading.Lock()
 
         server = self
@@ -116,10 +118,14 @@ class DetectionServer:
                     self._reply(400, {"error": f"expected {s}x{s} image, "
                                       f"got {img.shape[1]}x{img.shape[0]}"})
                     return
-                p = _Pending(image=img, bounds=bounds)
+                p = _Pending(image=img, bounds=bounds,
+                             deadline=time.perf_counter() + 60.0)
                 server._q.put(p)
                 p.event.wait(timeout=60.0)
                 if p.result is None:
+                    with server._stats_lock:
+                        server.stats["errors"] += 1
+                        server.stats["timeouts"] += p.error is None
                     self._reply(503, {"error": p.error or "timed out"})
                     return
                 with server._stats_lock:
@@ -141,13 +147,31 @@ class DetectionServer:
     def url(self) -> str:
         return f"http://127.0.0.1:{self.port}"
 
-    def start(self):
+    def start(self, warmup: bool = True):
+        if warmup:
+            # trigger XLA compilation before accepting traffic — the
+            # first 640-px compile takes minutes through this image's
+            # remote-compile tunnel, far beyond any request timeout
+            b, sz = self.step.batch, self.step.input_size
+            imgs = np.zeros((b, sz, sz, 3), np.uint8)
+            bnds = np.full((b, 4), (0, 0, 1e-6, 1e-6), np.float32)
+            det, lon, lat = self.step(imgs, bnds)
+            float(np.asarray(lon).sum())
         self._serve_thread.start()
         self._batch_thread.start()
         return self
 
     def stop(self):
         self._stop.set()
+        # release queued waiters immediately instead of letting their
+        # 60 s waits expire one by one
+        try:
+            while True:
+                p = self._q.get_nowait()
+                p.error = "server stopping"
+                p.event.set()
+        except queue.Empty:
+            pass
         self._httpd.shutdown()
         self._httpd.server_close()
 
@@ -171,6 +195,12 @@ class DetectionServer:
                     group.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # don't burn device time on waiters that already gave up
+            group = [p for p in group
+                     if p.deadline == 0.0
+                     or time.perf_counter() < p.deadline]
+            if not group:
+                continue
             imgs = np.zeros((b, s, s, 3), np.uint8)
             bnds = np.full((b, 4), (0, 0, 1e-6, 1e-6), np.float32)
             for i, p in enumerate(group):
@@ -184,6 +214,8 @@ class DetectionServer:
                     class_names=step.bundle.spec.class_names)
                 dt = time.perf_counter() - t0
             except Exception as e:                  # surface to all waiters
+                with self._stats_lock:
+                    self.stats["errors"] += len(group)
                 for p in group:
                     p.error = repr(e)
                     p.event.set()

@@ -26,6 +26,7 @@ from aerial_image_recognition_tpu.post.dedup import dedup_records
 from aerial_image_recognition_tpu.post.georef import detections_to_records
 from aerial_image_recognition_tpu.post.results import ResultsManager
 from aerial_image_recognition_tpu.runtime.checkpoint import (
+    grid_fingerprint,
     CheckpointManager, CheckpointState,
 )
 from aerial_image_recognition_tpu.runtime.config import DetectorConfig
@@ -116,11 +117,18 @@ class SimpleDetector:
         return out
 
     def process_batch(self, points: Sequence[Tuple[float, float]],
-                      target_size_meters: float = 64.0):
+                      target_size_meters: float = 64.0,
+                      window_px: Optional[int] = None):
         """(lat, lon) points → (detections, coverages, timing_stats)
-        (simple_detector.py:599-646 contract)."""
+        (simple_detector.py:599-646 contract).
+
+        window_px pins the source pixel window for the whole scan (run()
+        passes the AOI-center value) — deriving it per batch from the
+        first point's latitude drifts by a pixel across a city, and every
+        change would rebuild + recompile the batched detect step."""
         t0 = time.time()
-        window = self.fetcher.window_px(points[0][0], target_size_meters)
+        window = window_px or self.fetcher.window_px(points[0][0],
+                                                     target_size_meters)
         tiles = self.fetcher.fetch_batch(
             [(lon - 1e-9, lat - 1e-9, lon + 1e-9, lat + 1e-9)
              for lat, lon in points],
@@ -167,31 +175,65 @@ class SimpleDetector:
                                  style="combined")
         results = ResultsManager(self.output_dir, prefix="simple",
                                  duplicate_distance=duplicate_distance)
+        fingerprint = grid_fingerprint(bounds, spacing_meters, 0.0,
+                                       len(points))
+        # pin one pixel window for the whole scan (see process_batch)
+        window = self.fetcher.window_px((bounds[1] + bounds[3]) / 2, 64.0)
         start = 0
         if not force_restart:
             state = ckpt.load()
             if state:
+                if (state.grid_fingerprint
+                        and state.grid_fingerprint != fingerprint):
+                    raise RuntimeError(
+                        "checkpoint belongs to a different grid "
+                        "(AOI/spacing changed) — pass force_restart=True "
+                        "to discard it")
                 start = state.processed_count
-                results.add(state.detections)
+                results.add(state.detections, state.coverages)
+
+        def active_bbox(next_index):
+            # bbox of UNSCANNED points, expanded by the tile half-extent:
+            # future detections land inside future tiles, which reach
+            # ~32 m beyond their center points (compact()'s soundness
+            # argument needs arrivals inside the active bounds)
+            rest = points[next_index:]
+            if not rest:
+                return None
+            lats = [p[0] for p in rest]
+            lons = [p[1] for p in rest]
+            import math
+            m_lat = 40.0 / 111319.9
+            m_lon = 40.0 / (111319.9 * max(
+                0.1, math.cos(math.radians(sum(lats) / len(lats)))))
+            return (min(lons) - m_lon, min(lats) - m_lat,
+                    max(lons) + m_lon, max(lats) + m_lat)
+
+        def checkpoint(processed):
+            # frontier-aware compaction (post/results.compact): bounded
+            # memory without the boundary-dependent destruction of a
+            # plain periodic dedup
+            results.compact(active_bounds=active_bbox(processed))
+            ckpt.save(CheckpointState(processed, len(points),
+                                      results.detections,
+                                      coverages=list(results.coverages),
+                                      grid_fingerprint=fingerprint))
 
         processed = start
         try:
             with self.timers.phase("processing"):
                 for i0 in range(start, len(points), batch_size):
                     batch_pts = points[i0:i0 + batch_size]
-                    dets, covs, timing = self.process_batch(batch_pts)
+                    dets, covs, timing = self.process_batch(
+                        batch_pts, window_px=window)
                     self.timers.add("tile_fetching", timing["tile_fetching"])
                     self.timers.add("inference", timing["inference"])
                     results.add(dets, covs)
                     processed += len(batch_pts)
                     if processed % checkpoint_every < batch_size:
-                        results.remove_duplicates()
-                        ckpt.save(CheckpointState(processed, len(points),
-                                                  results.detections))
+                        checkpoint(processed)
         except (KeyboardInterrupt, Exception):
-            results.remove_duplicates()
-            ckpt.save(CheckpointState(processed, len(points),
-                                      results.detections))
+            checkpoint(processed)
             raise
 
         with self.timers.phase("duplicate_removal"):

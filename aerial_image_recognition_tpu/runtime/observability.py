@@ -40,14 +40,18 @@ class PhaseTimer:
             self.counts[name] += 1
 
     def report(self) -> Dict[str, float]:
-        return {k: round(v, 3) for k, v in self.totals.items()}
+        with self._lock:                   # snapshot: add() runs on
+            totals = dict(self.totals)     # fetch threads concurrently
+        return {k: round(v, 3) for k, v in totals.items()}
 
     def format_report(self) -> str:
         # same shape as the reference's exit printout
         # (simple_detector.py:921-929)
-        total = sum(self.totals.values()) or 1.0
+        with self._lock:
+            totals = dict(self.totals)
+        total = sum(totals.values()) or 1.0
         lines = ["Phase breakdown:"]
-        for k, v in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+        for k, v in sorted(totals.items(), key=lambda kv: -kv[1]):
             lines.append(f"  {k:<22s} {v:8.2f}s ({100 * v / total:5.1f}%)")
         return "\n".join(lines)
 
