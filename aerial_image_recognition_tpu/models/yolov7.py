@@ -124,7 +124,14 @@ class SPPCSPC(nn.Module):
 
 
 class SPPCSPCTiny(nn.Module):
-    """yolov7-tiny SPP-CSP-lite: *chained* stride-1 pools 5→9→13."""
+    """yolov7-tiny SPP-CSP-lite.
+
+    Upstream (yolov7-tiny.yaml) applies SP 5/9/13 in PARALLEL to the same
+    1x1 conv; three CHAINED 5x5 stride-1 pools are feature-identical
+    (max5∘max5 = max9, max5∘max5∘max5 = max13 — the SPPF equivalence)
+    and cheaper on TPU. Round 1 wrongly chained 5→9→13 (effective
+    5/13/25), which would have silently broken upstream-weight parity;
+    fixed in round 2 (self-review)."""
     c_out: int
     act: str = "leaky"
     dtype: Any = jnp.bfloat16
@@ -136,8 +143,8 @@ class SPPCSPCTiny(nn.Module):
         cv1 = ConvBN(c, 1, name="cv1", **kw)(x, train)
         cv2 = ConvBN(c, 1, name="cv2", **kw)(x, train)
         p5 = MaxPoolSame(5)(cv2)
-        p9 = MaxPoolSame(9)(p5)
-        p13 = MaxPoolSame(13)(p9)
+        p9 = MaxPoolSame(5)(p5)       # = max9 of cv2
+        p13 = MaxPoolSame(5)(p9)      # = max13 of cv2
         y = ConvBN(c, 1, name="cv3", **kw)([p13, p9, p5, cv2], train)
         return ConvBN(self.c_out, 1, name="out", **kw)([y, cv1], train)
 

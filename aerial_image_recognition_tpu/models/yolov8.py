@@ -164,6 +164,5 @@ class YOLOv8(nn.Module):
         f5b = C2f(c5, _n(3, d), False, name="pan5", dtype=dt)(
             concat([x, p5]), train)
 
-        d_, w_, r_ = SCALES[self.scale]
         return DetectHead(self.num_classes, (f3.shape[-1],), name="detect",
                           dtype=dt)([f3, f4b, f5b], train)

@@ -142,10 +142,14 @@ def yolov8_loss(outs: List[jnp.ndarray], targets: jnp.ndarray,
     """Anchor-free detection loss for the YOLOv8 head.
 
     Simplified assignment relative to ultralytics' task-aligned learning:
-    each target is assigned to the cell containing its center at the level
-    whose stride best matches the box size (√(w·h) ∈ [2s, 16s) bands) —
-    deterministic, fully vectorized, static-shaped. Losses: CIoU (box),
-    distribution focal loss on the ltrb bin histograms, BCE (cls).
+    each target is assigned to the cell containing its center at every
+    level whose size band it falls in (√(w·h) ∈ [2s, 16s); the bands
+    deliberately OVERLAP ~4x, so mid-sized boxes supervise 2 levels —
+    multi-level assignment stands in for TAL's top-k candidates) —
+    deterministic, fully vectorized, static-shaped. Validated end to end:
+    fake-world yolov8n reaches mAP50 1.0 / mAP50-95 0.83 (STATUS.md).
+    Losses: CIoU (box), distribution focal loss on the ltrb bin
+    histograms, BCE (cls).
     """
     from aerial_image_recognition_tpu.models.yolov8 import REG_MAX
 

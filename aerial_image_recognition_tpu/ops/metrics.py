@@ -69,8 +69,13 @@ def evaluate_detections(
                     fp[ri] = 1
                     continue
                 ious = iou_xywh(box[None, :], g)[0]
-                j = int(np.argmax(ious))
-                if ious[j] >= thr and not matched[ii][j]:
+                # best-IoU UNMATCHED gt above threshold (COCO semantics —
+                # argmax alone counts a pred FP when its top gt is taken,
+                # even though another gt qualifies; that biases AP low on
+                # clustered objects)
+                cand = np.where((ious >= thr) & ~matched[ii])[0]
+                if len(cand):
+                    j = int(cand[np.argmax(ious[cand])])
                     tp[ri] = 1
                     matched[ii][j] = True
                 else:

@@ -38,7 +38,9 @@ def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
             params_path=params if isinstance(params, str) else None)
         cfg = DetectorConfig(model_family="xunet")
         segment_fn = jax.jit(make_segment_fn(bundle, cfg))
-        params = bundle.params
+        if params is None or isinstance(params, str):
+            params = bundle.params
+        # else: the caller supplied an in-memory variables tree — use it
 
     probs = np.zeros((h, w), np.float32)
     corners = list(iter_windows(h, w, window, window))

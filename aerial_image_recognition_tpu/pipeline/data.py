@@ -112,11 +112,16 @@ def mosaic4(images: Sequence[np.ndarray], boxes: Sequence[np.ndarray],
             b[:, 2] = b[:, 2] * ih - sy + y1
             b[:, 3] = b[:, 3] * iw
             b[:, 4] = b[:, 4] * ih
-            # clip boxes to the canvas, drop degenerate leftovers
-            cx1 = np.clip(b[:, 1] - b[:, 3] / 2, 0, s)
-            cy1 = np.clip(b[:, 2] - b[:, 4] / 2, 0, s)
-            cx2 = np.clip(b[:, 1] + b[:, 3] / 2, 0, s)
-            cy2 = np.clip(b[:, 2] + b[:, 4] / 2, 0, s)
+            # clip boxes to the QUADRANT holding this image's pixels (not
+            # the whole canvas — a box whose source pixels were cropped
+            # away must not survive as a phantom label over a neighbor
+            # quadrant's content), drop degenerate leftovers
+            px2 = x1 + patch.shape[1]
+            py2 = y1 + patch.shape[0]
+            cx1 = np.clip(b[:, 1] - b[:, 3] / 2, x1, px2)
+            cy1 = np.clip(b[:, 2] - b[:, 4] / 2, y1, py2)
+            cx2 = np.clip(b[:, 1] + b[:, 3] / 2, x1, px2)
+            cy2 = np.clip(b[:, 2] + b[:, 4] / 2, y1, py2)
             keep = (cx2 - cx1 > 2) & (cy2 - cy1 > 2)
             b = np.stack([b[:, 0], (cx1 + cx2) / 2, (cy1 + cy2) / 2,
                           cx2 - cx1, cy2 - cy1], axis=1)[keep]
@@ -221,4 +226,9 @@ class DetectionLoader:
             if len(batch_imgs) == cfg.batch_size:
                 yield (np.stack(batch_imgs), np.stack(batch_tgts))
                 batch_imgs, batch_tgts = [], []
-        # drop ragged tail (static shapes)
+        if not self.train and batch_imgs:
+            # eval must see EVERY sample: yield the ragged tail (one extra
+            # compile for the tail shape; pad targets are already -1 so
+            # metrics ignore nothing real). Training keeps static shapes.
+            yield (np.stack(batch_imgs), np.stack(batch_tgts))
+        # training drops the ragged tail (static shapes)

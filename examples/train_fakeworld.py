@@ -67,7 +67,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--n-images", type=int, default=512)
     ap.add_argument("--size", type=int, default=96)
-    ap.add_argument("--tile-m", type=float, default=9.6)
+    ap.add_argument("--tile-m", type=float, default=9.6,
+                    help="ground meters per tile; with --size 96: 9.6 -> "
+                         "0.1 m/px (v8n fixture), 48 -> 0.5 m/px (the "
+                         "committed v7 fixture's scale)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-every", type=int, default=20)
