@@ -78,6 +78,44 @@ _V7_TINY_CONVBN: List[Tuple[int, str]] = [
 ]
 _V7_TINY_DETECT_IDX = 77
 
+# yolov7 base: upstream cfg/deploy/yolov7.yaml layer index ↔ our module name
+# (see models/yolov7.py _base). RepConv deploy-form layers (102-104) are
+# handled separately in yolov7_base_mapping (rbr_reparam conv+bias, no BN).
+_V7_BASE_CONVBN: List[Tuple[int, str]] = [
+    (0, "stem0"), (1, "stem1"), (2, "stem2"), (3, "stem3"),
+    (4, "elan1/cv1"), (5, "elan1/cv2"), (6, "elan1/m1"), (7, "elan1/m2"),
+    (8, "elan1/m3"), (9, "elan1/m4"), (11, "elan1/out"),
+    (13, "mp3/pool_cv"), (14, "mp3/pre_cv"), (15, "mp3/down_cv"),
+    (17, "elan2/cv1"), (18, "elan2/cv2"), (19, "elan2/m1"), (20, "elan2/m2"),
+    (21, "elan2/m3"), (22, "elan2/m4"), (24, "elan2/out"),
+    (26, "mp4/pool_cv"), (27, "mp4/pre_cv"), (28, "mp4/down_cv"),
+    (30, "elan3/cv1"), (31, "elan3/cv2"), (32, "elan3/m1"), (33, "elan3/m2"),
+    (34, "elan3/m3"), (35, "elan3/m4"), (37, "elan3/out"),
+    (39, "mp5/pool_cv"), (40, "mp5/pre_cv"), (41, "mp5/down_cv"),
+    (43, "elan4/cv1"), (44, "elan4/cv2"), (45, "elan4/m1"), (46, "elan4/m2"),
+    (47, "elan4/m3"), (48, "elan4/m4"), (50, "elan4/out"),
+    (52, "up4_cv"), (54, "route4"),
+    (56, "head_elan4/cv1"), (57, "head_elan4/cv2"),
+    (58, "head_elan4/m1"), (59, "head_elan4/m2"), (60, "head_elan4/m3"),
+    (61, "head_elan4/m4"), (63, "head_elan4/out"),
+    (64, "up3_cv"), (66, "route3"),
+    (68, "head_elan3/cv1"), (69, "head_elan3/cv2"),
+    (70, "head_elan3/m1"), (71, "head_elan3/m2"), (72, "head_elan3/m3"),
+    (73, "head_elan3/m4"), (75, "head_elan3/out"),
+    (77, "pan4_pool_cv"), (78, "pan4_pre_cv"), (79, "pan4_down_cv"),
+    (81, "pan_elan4/cv1"), (82, "pan_elan4/cv2"),
+    (83, "pan_elan4/m1"), (84, "pan_elan4/m2"), (85, "pan_elan4/m3"),
+    (86, "pan_elan4/m4"), (88, "pan_elan4/out"),
+    (90, "pan5_pool_cv"), (91, "pan5_pre_cv"), (92, "pan5_down_cv"),
+    (94, "pan_elan5/cv1"), (95, "pan_elan5/cv2"),
+    (96, "pan_elan5/m1"), (97, "pan_elan5/m2"), (98, "pan_elan5/m3"),
+    (99, "pan_elan5/m4"), (101, "pan_elan5/out"),
+]
+_V7_BASE_SPPCSPC_IDX = 51
+_V7_BASE_REPCONV: List[Tuple[int, str]] = [
+    (102, "rep3"), (103, "rep4"), (104, "rep5")]
+_V7_BASE_DETECT_IDX = 105
+
 
 def _v8_module_names(depth_n: Dict[str, int]) -> List[Tuple[str, str]]:
     """(torch prefix, our module name) for the yolov8 graph.
@@ -117,6 +155,22 @@ def yolov7_tiny_mapping() -> List[Tuple[str, List[str], str]]:
     out = []
     for idx, name in _V7_TINY_CONVBN:
         out.extend(_convbn_pairs(f"model.{idx}", name))
+    return out
+
+
+def yolov7_base_mapping() -> List[Tuple[str, List[str], str]]:
+    out = []
+    for idx, name in _V7_BASE_CONVBN:
+        out.extend(_convbn_pairs(f"model.{idx}", name))
+    for sub in ("cv1", "cv2", "cv3", "cv4", "cv5", "cv6", "cv7"):
+        out.extend(_convbn_pairs(f"model.{_V7_BASE_SPPCSPC_IDX}.{sub}",
+                                 f"sppcspc/{sub}"))
+    for idx, name in _V7_BASE_REPCONV:
+        # deploy-form RepConv = fused conv + bias (rbr_reparam), no BN
+        out.append((f"model.{idx}.rbr_reparam.weight",
+                    ["params", name, "conv", "kernel"], "conv"))
+        out.append((f"model.{idx}.rbr_reparam.bias",
+                    ["params", name, "conv", "bias"], ""))
     return out
 
 
@@ -195,19 +249,95 @@ def fold_idetect(conv_w: np.ndarray, conv_b: np.ndarray,
     return w_new, b_new
 
 
-def yolov7_tiny_detect_from_torch(state_dict, variables, nc: int = 1):
-    """Import the (IDetect) head: model.77.m.{i} convs + ia/im folding into
-    our detect{i} flax convs."""
+def yolov7_detect_from_torch(state_dict, variables, *,
+                             detect_idx: int = _V7_TINY_DETECT_IDX):
+    """Import the (I)Detect head: model.{detect_idx}.m.{i} convs + ia/im
+    folding into our detect{i} flax convs (77 for tiny, 105 for base)."""
     import copy
     variables = copy.deepcopy(variables)
     for lvl in range(3):
-        w = np.asarray(state_dict[f"model.{_V7_TINY_DETECT_IDX}.m.{lvl}.weight"])
-        b = np.asarray(state_dict[f"model.{_V7_TINY_DETECT_IDX}.m.{lvl}.bias"])
-        ia_key = f"model.{_V7_TINY_DETECT_IDX}.ia.{lvl}.implicit"
-        im_key = f"model.{_V7_TINY_DETECT_IDX}.im.{lvl}.implicit"
+        w = np.asarray(state_dict[f"model.{detect_idx}.m.{lvl}.weight"])
+        b = np.asarray(state_dict[f"model.{detect_idx}.m.{lvl}.bias"])
+        ia_key = f"model.{detect_idx}.ia.{lvl}.implicit"
+        im_key = f"model.{detect_idx}.im.{lvl}.implicit"
         if ia_key in state_dict:
             w, b = fold_idetect(w, b, np.asarray(state_dict[ia_key]),
                                 np.asarray(state_dict[im_key]))
         _set(variables, ["params", f"detect{lvl}", "kernel"], _conv_to_flax(w))
         _set(variables, ["params", f"detect{lvl}", "bias"], b)
     return variables
+
+
+# kept name: round-1/2 call sites and tests use the tiny-specific spelling
+yolov7_tiny_detect_from_torch = yolov7_detect_from_torch
+
+
+def yolov8_n_c2f(scale: str) -> Dict[str, int]:
+    """Per-module bottleneck counts for a yolov8 scale (the n_c2f dict
+    yolov8_mapping needs)."""
+    from aerial_image_recognition_tpu.models.yolov8 import SCALES, _n
+    d = SCALES[scale][0]
+    n3, n6 = _n(3, d), _n(6, d)
+    return {"c2f1": n3, "c2f2": n6, "c2f3": n6, "c2f4": n3,
+            "fpn4": n3, "fpn3": n3, "pan4": n3, "pan5": n3}
+
+
+def variables_from_torch_state(state_dict: Dict[str, np.ndarray],
+                               model_name: str) -> Dict[str, Any]:
+    """Full turnkey import: upstream torch-named {name: array} → the flax
+    variables tree for a registry model (weight mapping + detect-head
+    fold). This is the one call between a dropped-in reference blob
+    (models.onnx_lite.load_onnx_initializers) and a runnable model — the
+    CLI `import-weights` verb wires it to save_params."""
+    from aerial_image_recognition_tpu.models.registry import (
+        REGISTRY, resolve_model_name)
+    name = resolve_model_name(model_name)
+    spec = REGISTRY[name]
+    if spec.family == "yolov7":
+        if name == "yolov7_base":
+            variables = import_torch_state(state_dict, yolov7_base_mapping())
+            return yolov7_detect_from_torch(state_dict, variables,
+                                            detect_idx=_V7_BASE_DETECT_IDX)
+        variables = import_torch_state(state_dict, yolov7_tiny_mapping())
+        return yolov7_detect_from_torch(state_dict, variables,
+                                        detect_idx=_V7_TINY_DETECT_IDX)
+    if spec.family == "yolov8":
+        scale = "l" if name == "yolov8_tokyo" else name[-1]
+        return import_torch_state(state_dict,
+                                  yolov8_mapping(yolov8_n_c2f(scale)))
+    raise KeyError(f"no torch import mapping for model family "
+                   f"{spec.family!r} ({name})")
+
+
+def validate_variable_shapes(variables: Dict[str, Any], reference: Dict[str, Any]):
+    """Compare two variable trees leaf-by-leaf; raise listing every shape
+    mismatch (clear errors instead of silently-wrong inference when an
+    imported blob doesn't match the chosen registry model)."""
+    import jax
+
+    def _keystr(k):
+        if hasattr(k, "key"):
+            return str(k.key)
+        if hasattr(k, "idx"):
+            return str(k.idx)
+        return str(k)
+
+    def flat(tree):
+        leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {"/".join(_keystr(k) for k in kp): np.shape(v)
+                for kp, v in leaves}
+
+    a, b = flat(variables), flat(reference)
+    problems = []
+    for k in sorted(set(a) | set(b)):
+        if k not in a:
+            problems.append(f"missing from import: {k} {b[k]}")
+        elif k not in b:
+            problems.append(f"unexpected in import: {k} {a[k]}")
+        elif a[k] != b[k]:
+            problems.append(f"shape mismatch: {k} imported {a[k]} "
+                            f"vs model {b[k]}")
+    if problems:
+        raise ValueError(
+            f"{len(problems)} import/model inconsistencies, e.g.:\n  "
+            + "\n  ".join(problems[:10]))

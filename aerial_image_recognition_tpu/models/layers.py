@@ -78,6 +78,11 @@ class ConvBN(nn.Module):
     act: str = "silu"
     dtype: Any = jnp.bfloat16
     use_bn: bool = True
+    # upstream BatchNorm epsilon: ultralytics v8 uses 1e-3; the yolov7 repo
+    # uses nn.BatchNorm2d's default 1e-5 (models/yolov7.py passes it) —
+    # imported real weights are mis-scaled ~sqrt((var+1e-3)/(var+1e-5)) on
+    # low-variance channels if this doesn't match the training framework.
+    bn_eps: float = 1e-3
 
     SPLIT_LISTS = False     # class-level experiment knob (see docstring)
     # trace-time knob set by folded_convbn(): BN is dropped from the
@@ -117,11 +122,17 @@ class ConvBN(nn.Module):
                 out = out + bias.astype(self.dtype)
             x = out
         else:
+            # Explicit k//2 padding = torch Conv2d(padding=k//2) ("autopad").
+            # For stride 1 this equals SAME; for stride 2 it does NOT —
+            # SAME pads (0,1) on even inputs, a one-pixel window shift vs
+            # upstream that silently breaks imported-weight parity (caught
+            # by tests/test_arch_differential.py, round 3).
+            p = self.kernel // 2
             x = nn.Conv(
                 self.features,
                 (self.kernel, self.kernel),
                 strides=(self.stride, self.stride),
-                padding="SAME",
+                padding=((p, p), (p, p)),
                 feature_group_count=self.groups,
                 use_bias=not self.use_bn,
                 dtype=self.dtype,
@@ -134,7 +145,7 @@ class ConvBN(nn.Module):
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.97,
-                epsilon=1e-3,
+                epsilon=self.bn_eps,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name="bn",

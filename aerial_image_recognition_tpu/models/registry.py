@@ -122,15 +122,16 @@ class ModelBundle:
         return outs  # xunet: mask logits
 
     def _s2d2_meta(self):
-        """(stem scope names, activation) for the quad-stem lowering, or
-        None when it doesn't apply. Any model whose entry is two stride-2
-        3x3 ConvBNs qualifies (yolov7-tiny and every yolov8 scale)."""
+        """(stem scope names, activation, bn_eps) for the quad-stem
+        lowering, or None when it doesn't apply. Any model whose entry is
+        two stride-2 3x3 ConvBNs qualifies (yolov7-tiny and every yolov8
+        scale). bn_eps follows the family (ConvBN.bn_eps)."""
         if (self.spec.family == "yolov7"
                 and getattr(self.module, "variant", "") == "tiny"
                 and not getattr(self.module, "s2d_stem", False)):
-            return ("stem0", "stem1"), "leaky"
+            return ("stem0", "stem1"), "leaky", 1e-5
         if self.spec.family == "yolov8":
-            return ("stem", "down2"), "silu"
+            return ("stem", "down2"), "silu", 1e-3
         return None
 
     def supports_s2d2(self) -> bool:
@@ -150,10 +151,10 @@ class ModelBundle:
             quad_stem_forward)
         meta = self._s2d2_meta()
         assert meta is not None
-        stem_names, act = meta
+        stem_names, act, bn_eps = meta
         feat = quad_stem_forward(params, xq, act=act, in_scale=in_scale,
                                  dtype=self.module.dtype,
-                                 stem_names=stem_names)
+                                 stem_names=stem_names, bn_eps=bn_eps)
         outs = self.module.clone(from_p2=True).apply(
             params, feat, train=False)
         if self.spec.family == "yolov7":

@@ -1,0 +1,516 @@
+"""Vendored upstream graph specs + an independent torch interpreter.
+
+The flax graphs in models/yolov7.py / models/yolov8.py and the yaml-index
+weight mapping in models/import_torch.py were transcribed BY HAND from the
+upstream cfg yamls (WongKinYiu/yolov7 cfg/deploy/yolov7-tiny.yaml and
+yolov7.yaml; ultralytics yolov8.yaml) — the graphs the reference executes
+opaquely via onnxruntime (reference _script/gpu_handler.py:39-65,
+simple_detector.py:39-46). Round 2's SPPCSPCTiny incident proved this
+transcription class silently breaks weight parity, and the real blobs are
+environment-unreachable, so this module is the in-environment substitute
+for real-weight goldens: the upstream layer tables are vendored here AS
+DATA (one tuple per yaml line, from-indices and all), and `run_spec_torch`
+executes that data directly with torch.nn.functional — shape inference,
+concat orders, padding, BN epsilon and activations all re-derived from the
+spec, sharing NO code with the flax models. tests/test_arch_differential.py
+generates random upstream-named state dicts, runs BOTH this interpreter and
+import_torch_state → flax forward, and asserts the raw head maps agree.
+
+This module deliberately imports nothing from models/yolov7.py,
+models/yolov8.py or models/import_torch.py.
+"""
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Layer tables. Entry = (from, op, args); index in the list is the yaml layer
+# index (the `model.{i}` torch name). `from` follows the yaml convention:
+# negative = relative to this layer, non-negative = absolute layer index.
+#
+# yolov7-tiny (WongKinYiu/yolov7 cfg/deploy/yolov7-tiny.yaml).
+# conv args = (out_channels, kernel, stride); all convs pad k//2 (torch
+# autopad); act = LeakyReLU(0.1); sp = MaxPool2d(k, stride 1, pad k//2);
+# mp = MaxPool2d(2, 2).
+YOLOV7_TINY_SPEC: List[Tuple] = [
+    (-1, "conv", (32, 3, 2)),            # 0  P1/2
+    (-1, "conv", (64, 3, 2)),            # 1  P2/4
+    (-1, "conv", (32, 1, 1)),            # 2  elan1.cv1
+    (-2, "conv", (32, 1, 1)),            # 3  elan1.cv2
+    (-1, "conv", (32, 3, 1)),            # 4  elan1.cv3
+    (-1, "conv", (32, 3, 1)),            # 5  elan1.cv4
+    ((-1, -2, -3, -4), "concat", ()),    # 6
+    (-1, "conv", (64, 1, 1)),            # 7  elan1.out
+    (-1, "mp", ()),                      # 8  P3/8
+    (-1, "conv", (64, 1, 1)),            # 9
+    (-2, "conv", (64, 1, 1)),            # 10
+    (-1, "conv", (64, 3, 1)),            # 11
+    (-1, "conv", (64, 3, 1)),            # 12
+    ((-1, -2, -3, -4), "concat", ()),    # 13
+    (-1, "conv", (128, 1, 1)),           # 14 elan2.out
+    (-1, "mp", ()),                      # 15 P4/16
+    (-1, "conv", (128, 1, 1)),           # 16
+    (-2, "conv", (128, 1, 1)),           # 17
+    (-1, "conv", (128, 3, 1)),           # 18
+    (-1, "conv", (128, 3, 1)),           # 19
+    ((-1, -2, -3, -4), "concat", ()),    # 20
+    (-1, "conv", (256, 1, 1)),           # 21 elan3.out
+    (-1, "mp", ()),                      # 22 P5/32
+    (-1, "conv", (256, 1, 1)),           # 23
+    (-2, "conv", (256, 1, 1)),           # 24
+    (-1, "conv", (256, 3, 1)),           # 25
+    (-1, "conv", (256, 3, 1)),           # 26
+    ((-1, -2, -3, -4), "concat", ()),    # 27
+    (-1, "conv", (512, 1, 1)),           # 28 elan4.out
+    # head — SPP-CSP-lite spelled out layer by layer in the tiny yaml
+    (-1, "conv", (256, 1, 1)),           # 29 bypass (cv1)
+    (-2, "conv", (256, 1, 1)),           # 30 cv2
+    (-1, "sp", (5,)),                    # 31
+    (-2, "sp", (9,)),                    # 32
+    (-3, "sp", (13,)),                   # 33
+    ((-1, -2, -3, -4), "concat", ()),    # 34  [sp13, sp9, sp5, cv2]
+    (-1, "conv", (256, 1, 1)),           # 35 cv3
+    ((-1, -7), "concat", ()),            # 36  [cv3, bypass]
+    (-1, "conv", (256, 1, 1)),           # 37 spp out
+    (-1, "conv", (128, 1, 1)),           # 38 up4_cv
+    (-1, "upsample", ()),                # 39
+    (21, "conv", (128, 1, 1)),           # 40 route4 (from backbone P4)
+    ((-1, -2), "concat", ()),            # 41  [route4, upsampled]
+    (-1, "conv", (64, 1, 1)),            # 42
+    (-2, "conv", (64, 1, 1)),            # 43
+    (-1, "conv", (64, 3, 1)),            # 44
+    (-1, "conv", (64, 3, 1)),            # 45
+    ((-1, -2, -3, -4), "concat", ()),    # 46
+    (-1, "conv", (128, 1, 1)),           # 47 head_elan4.out (f4)
+    (-1, "conv", (64, 1, 1)),            # 48 up3_cv
+    (-1, "upsample", ()),                # 49
+    (14, "conv", (64, 1, 1)),            # 50 route3 (from backbone P3)
+    ((-1, -2), "concat", ()),            # 51
+    (-1, "conv", (32, 1, 1)),            # 52
+    (-2, "conv", (32, 1, 1)),            # 53
+    (-1, "conv", (32, 3, 1)),            # 54
+    (-1, "conv", (32, 3, 1)),            # 55
+    ((-1, -2, -3, -4), "concat", ()),    # 56
+    (-1, "conv", (64, 1, 1)),            # 57 head_elan3.out (f3)
+    (-1, "conv", (128, 3, 2)),           # 58 down4_cv
+    ((-1, 47), "concat", ()),            # 59  [down, f4]
+    (-1, "conv", (64, 1, 1)),            # 60
+    (-2, "conv", (64, 1, 1)),            # 61
+    (-1, "conv", (64, 3, 1)),            # 62
+    (-1, "conv", (64, 3, 1)),            # 63
+    ((-1, -2, -3, -4), "concat", ()),    # 64
+    (-1, "conv", (128, 1, 1)),           # 65 pan_elan4.out (f4b)
+    (-1, "conv", (256, 3, 2)),           # 66 down5_cv
+    ((-1, 37), "concat", ()),            # 67  [down, spp]
+    (-1, "conv", (128, 1, 1)),           # 68
+    (-2, "conv", (128, 1, 1)),           # 69
+    (-1, "conv", (128, 3, 1)),           # 70
+    (-1, "conv", (128, 3, 1)),           # 71
+    ((-1, -2, -3, -4), "concat", ()),    # 72
+    (-1, "conv", (256, 1, 1)),           # 73 pan_elan5.out (f5b)
+    (57, "conv", (128, 3, 1)),           # 74 out3
+    (65, "conv", (256, 3, 1)),           # 75 out4
+    (73, "conv", (512, 3, 1)),           # 76 out5
+    ((74, 75, 76), "detect", ()),        # 77 IDetect
+]
+
+# yolov7 base (WongKinYiu/yolov7 cfg/deploy/yolov7.yaml). act = SiLU;
+# repconv = deploy-form RepConv (fused 3x3 conv + bias, rbr_reparam keys).
+YOLOV7_BASE_SPEC: List[Tuple] = [
+    (-1, "conv", (32, 3, 1)),            # 0
+    (-1, "conv", (64, 3, 2)),            # 1  P1/2
+    (-1, "conv", (64, 3, 1)),            # 2
+    (-1, "conv", (128, 3, 2)),           # 3  P2/4
+    (-1, "conv", (64, 1, 1)),            # 4  elan1.cv1
+    (-2, "conv", (64, 1, 1)),            # 5  elan1.cv2
+    (-1, "conv", (64, 3, 1)),            # 6  m1
+    (-1, "conv", (64, 3, 1)),            # 7  m2
+    (-1, "conv", (64, 3, 1)),            # 8  m3
+    (-1, "conv", (64, 3, 1)),            # 9  m4
+    ((-1, -3, -5, -6), "concat", ()),    # 10  [m4, m2, cv2, cv1]
+    (-1, "conv", (256, 1, 1)),           # 11 elan1.out
+    (-1, "mp", ()),                      # 12
+    (-1, "conv", (128, 1, 1)),           # 13 mp3.pool_cv
+    (-3, "conv", (128, 1, 1)),           # 14 mp3.pre_cv
+    (-1, "conv", (128, 3, 2)),           # 15 mp3.down_cv
+    ((-1, -3), "concat", ()),            # 16  P3/8 [down, pool]
+    (-1, "conv", (128, 1, 1)),           # 17
+    (-2, "conv", (128, 1, 1)),           # 18
+    (-1, "conv", (128, 3, 1)),           # 19
+    (-1, "conv", (128, 3, 1)),           # 20
+    (-1, "conv", (128, 3, 1)),           # 21
+    (-1, "conv", (128, 3, 1)),           # 22
+    ((-1, -3, -5, -6), "concat", ()),    # 23
+    (-1, "conv", (512, 1, 1)),           # 24 elan2.out
+    (-1, "mp", ()),                      # 25
+    (-1, "conv", (256, 1, 1)),           # 26
+    (-3, "conv", (256, 1, 1)),           # 27
+    (-1, "conv", (256, 3, 2)),           # 28
+    ((-1, -3), "concat", ()),            # 29  P4/16
+    (-1, "conv", (256, 1, 1)),           # 30
+    (-2, "conv", (256, 1, 1)),           # 31
+    (-1, "conv", (256, 3, 1)),           # 32
+    (-1, "conv", (256, 3, 1)),           # 33
+    (-1, "conv", (256, 3, 1)),           # 34
+    (-1, "conv", (256, 3, 1)),           # 35
+    ((-1, -3, -5, -6), "concat", ()),    # 36
+    (-1, "conv", (1024, 1, 1)),          # 37 elan3.out
+    (-1, "mp", ()),                      # 38
+    (-1, "conv", (512, 1, 1)),           # 39
+    (-3, "conv", (512, 1, 1)),           # 40
+    (-1, "conv", (512, 3, 2)),           # 41
+    ((-1, -3), "concat", ()),            # 42  P5/32
+    (-1, "conv", (256, 1, 1)),           # 43
+    (-2, "conv", (256, 1, 1)),           # 44
+    (-1, "conv", (256, 3, 1)),           # 45
+    (-1, "conv", (256, 3, 1)),           # 46
+    (-1, "conv", (256, 3, 1)),           # 47
+    (-1, "conv", (256, 3, 1)),           # 48
+    ((-1, -3, -5, -6), "concat", ()),    # 49
+    (-1, "conv", (1024, 1, 1)),          # 50 elan4.out
+    (-1, "sppcspc", (512,)),             # 51
+    (-1, "conv", (256, 1, 1)),           # 52 up4_cv
+    (-1, "upsample", ()),                # 53
+    (37, "conv", (256, 1, 1)),           # 54 route4
+    ((-1, -2), "concat", ()),            # 55
+    (-1, "conv", (256, 1, 1)),           # 56
+    (-2, "conv", (256, 1, 1)),           # 57
+    (-1, "conv", (128, 3, 1)),           # 58
+    (-1, "conv", (128, 3, 1)),           # 59
+    (-1, "conv", (128, 3, 1)),           # 60
+    (-1, "conv", (128, 3, 1)),           # 61
+    ((-1, -2, -3, -4, -5, -6), "concat", ()),  # 62
+    (-1, "conv", (256, 1, 1)),           # 63 head_elan4.out (f4)
+    (-1, "conv", (128, 1, 1)),           # 64 up3_cv
+    (-1, "upsample", ()),                # 65
+    (24, "conv", (128, 1, 1)),           # 66 route3
+    ((-1, -2), "concat", ()),            # 67
+    (-1, "conv", (128, 1, 1)),           # 68
+    (-2, "conv", (128, 1, 1)),           # 69
+    (-1, "conv", (64, 3, 1)),            # 70
+    (-1, "conv", (64, 3, 1)),            # 71
+    (-1, "conv", (64, 3, 1)),            # 72
+    (-1, "conv", (64, 3, 1)),            # 73
+    ((-1, -2, -3, -4, -5, -6), "concat", ()),  # 74
+    (-1, "conv", (128, 1, 1)),           # 75 head_elan3.out (f3)
+    (-1, "mp", ()),                      # 76
+    (-1, "conv", (128, 1, 1)),           # 77 pan4_pool_cv
+    (-3, "conv", (128, 1, 1)),           # 78 pan4_pre_cv
+    (-1, "conv", (128, 3, 2)),           # 79 pan4_down_cv
+    ((-1, -3, 63), "concat", ()),        # 80  [down, pool, f4]
+    (-1, "conv", (256, 1, 1)),           # 81
+    (-2, "conv", (256, 1, 1)),           # 82
+    (-1, "conv", (128, 3, 1)),           # 83
+    (-1, "conv", (128, 3, 1)),           # 84
+    (-1, "conv", (128, 3, 1)),           # 85
+    (-1, "conv", (128, 3, 1)),           # 86
+    ((-1, -2, -3, -4, -5, -6), "concat", ()),  # 87
+    (-1, "conv", (256, 1, 1)),           # 88 pan_elan4.out (f4b)
+    (-1, "mp", ()),                      # 89
+    (-1, "conv", (256, 1, 1)),           # 90 pan5_pool_cv
+    (-3, "conv", (256, 1, 1)),           # 91 pan5_pre_cv
+    (-1, "conv", (256, 3, 2)),           # 92 pan5_down_cv
+    ((-1, -3, 51), "concat", ()),        # 93  [down, pool, spp]
+    (-1, "conv", (512, 1, 1)),           # 94
+    (-2, "conv", (512, 1, 1)),           # 95
+    (-1, "conv", (256, 3, 1)),           # 96
+    (-1, "conv", (256, 3, 1)),           # 97
+    (-1, "conv", (256, 3, 1)),           # 98
+    (-1, "conv", (256, 3, 1)),           # 99
+    ((-1, -2, -3, -4, -5, -6), "concat", ()),  # 100
+    (-1, "conv", (512, 1, 1)),           # 101 pan_elan5.out (f5b)
+    (75, "repconv", (256, 3, 1)),        # 102
+    (88, "repconv", (512, 3, 1)),        # 103
+    (101, "repconv", (1024, 3, 1)),      # 104
+    ((102, 103, 104), "detect", ()),     # 105
+]
+
+# ultralytics yolov8.yaml scales: depth, width, max_channels
+V8_SCALES = {
+    "n": (0.33, 0.25, 1024),
+    "s": (0.33, 0.50, 1024),
+    "m": (0.67, 0.75, 768),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.25, 512),
+}
+V8_REG_MAX = 16
+
+
+def _mdiv8(x: float) -> int:
+    """ultralytics make_divisible(x, 8)."""
+    return int(math.ceil(x / 8) * 8)
+
+
+def yolov8_spec(scale: str) -> List[Tuple]:
+    """The yolov8 module table (ultralytics yolov8.yaml), channels resolved
+    for `scale`. c2f args = (out_channels, n_bottlenecks, shortcut)."""
+    d, w, maxc = V8_SCALES[scale]
+
+    def ch(c):
+        return _mdiv8(min(c, maxc) * w)
+
+    def n(x):
+        return max(1, round(x * d))
+
+    c1, c2, c3, c4, c5 = ch(64), ch(128), ch(256), ch(512), ch(1024)
+    return [
+        (-1, "conv", (c1, 3, 2)),        # 0  P1/2
+        (-1, "conv", (c2, 3, 2)),        # 1  P2/4
+        (-1, "c2f", (c2, n(3), True)),   # 2
+        (-1, "conv", (c3, 3, 2)),        # 3  P3/8
+        (-1, "c2f", (c3, n(6), True)),   # 4
+        (-1, "conv", (c4, 3, 2)),        # 5  P4/16
+        (-1, "c2f", (c4, n(6), True)),   # 6
+        (-1, "conv", (c5, 3, 2)),        # 7  P5/32
+        (-1, "c2f", (c5, n(3), True)),   # 8
+        (-1, "sppf", (c5,)),             # 9
+        (-1, "upsample", ()),            # 10
+        ((-1, 6), "concat", ()),         # 11
+        (-1, "c2f", (c4, n(3), False)),  # 12 fpn4
+        (-1, "upsample", ()),            # 13
+        ((-1, 4), "concat", ()),         # 14
+        (-1, "c2f", (c3, n(3), False)),  # 15 fpn3
+        (-1, "conv", (c3, 3, 2)),        # 16 pan_down4
+        ((-1, 12), "concat", ()),        # 17
+        (-1, "c2f", (c4, n(3), False)),  # 18 pan4
+        (-1, "conv", (c4, 3, 2)),        # 19 pan_down5
+        ((-1, 9), "concat", ()),         # 20
+        (-1, "c2f", (c5, n(3), False)),  # 21 pan5
+        ((15, 18, 21), "detect8", ()),   # 22
+    ]
+
+
+# --------------------------------------------------------------------------
+# Random upstream-named state-dict generation (shape inference walks the
+# spec the same way the interpreter does — no flax code involved).
+
+def _bn_keys(rng, sd: Dict, prefix: str, c: int):
+    sd[f"{prefix}.weight"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+    sd[f"{prefix}.bias"] = rng.normal(0, 0.1, c).astype(np.float32)
+    sd[f"{prefix}.running_mean"] = rng.normal(0, 0.1, c).astype(np.float32)
+    sd[f"{prefix}.running_var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+
+
+def _convbn_keys(rng, sd: Dict, prefix: str, cin: int, cout: int, k: int):
+    std = (cin * k * k) ** -0.5
+    sd[f"{prefix}.conv.weight"] = rng.normal(
+        0, std, (cout, cin, k, k)).astype(np.float32)
+    _bn_keys(rng, sd, f"{prefix}.bn", cout)
+
+
+def make_state_dict(spec: Sequence[Tuple], *, nc: int, seed: int = 0,
+                    in_ch: int = 3, idetect_implicit: bool = True
+                    ) -> Dict[str, np.ndarray]:
+    """Random torch-named state dict for `spec` (shapes inferred)."""
+    rng = np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+    chans: List[int] = []
+    for i, (frm, op, args) in enumerate(spec):
+        srcs = [frm] if isinstance(frm, int) else list(frm)
+        cins = [chans[s] if s >= 0 else chans[i + s] if i + s >= 0 else in_ch
+                for s in srcs]
+        # layer 0's "-1" is the network input
+        if i == 0:
+            cins = [in_ch]
+        cin = cins[0]
+        if op == "conv":
+            c, k, _ = args
+            _convbn_keys(rng, sd, f"model.{i}", cin, c, k)
+            chans.append(c)
+        elif op == "repconv":
+            c, k, _ = args
+            std = (cin * k * k) ** -0.5
+            sd[f"model.{i}.rbr_reparam.weight"] = rng.normal(
+                0, std, (c, cin, k, k)).astype(np.float32)
+            sd[f"model.{i}.rbr_reparam.bias"] = rng.normal(
+                0, 0.1, c).astype(np.float32)
+            chans.append(c)
+        elif op == "sppcspc":
+            (c,) = args
+            _convbn_keys(rng, sd, f"model.{i}.cv1", cin, c, 1)
+            _convbn_keys(rng, sd, f"model.{i}.cv2", cin, c, 1)
+            _convbn_keys(rng, sd, f"model.{i}.cv3", c, c, 3)
+            _convbn_keys(rng, sd, f"model.{i}.cv4", c, c, 1)
+            _convbn_keys(rng, sd, f"model.{i}.cv5", 4 * c, c, 1)
+            _convbn_keys(rng, sd, f"model.{i}.cv6", c, c, 3)
+            _convbn_keys(rng, sd, f"model.{i}.cv7", 2 * c, c, 1)
+            chans.append(c)
+        elif op == "c2f":
+            c, n, _ = args
+            c_ = c // 2
+            _convbn_keys(rng, sd, f"model.{i}.cv1", cin, 2 * c_, 1)
+            for j in range(n):
+                _convbn_keys(rng, sd, f"model.{i}.m.{j}.cv1", c_, c_, 3)
+                _convbn_keys(rng, sd, f"model.{i}.m.{j}.cv2", c_, c_, 3)
+            _convbn_keys(rng, sd, f"model.{i}.cv2", (2 + n) * c_, c, 1)
+            chans.append(c)
+        elif op == "sppf":
+            (c,) = args
+            c_ = cin // 2
+            _convbn_keys(rng, sd, f"model.{i}.cv1", cin, c_, 1)
+            _convbn_keys(rng, sd, f"model.{i}.cv2", 4 * c_, c, 1)
+            chans.append(c)
+        elif op in ("mp", "sp", "upsample"):
+            chans.append(cin)
+        elif op == "concat":
+            chans.append(sum(cins))
+        elif op == "detect":
+            no = 3 * (5 + nc)
+            for j, cj in enumerate(cins):
+                sd[f"model.{i}.m.{j}.weight"] = rng.normal(
+                    0, cj ** -0.5, (no, cj, 1, 1)).astype(np.float32)
+                sd[f"model.{i}.m.{j}.bias"] = rng.normal(
+                    0, 0.1, no).astype(np.float32)
+                if idetect_implicit:
+                    sd[f"model.{i}.ia.{j}.implicit"] = rng.normal(
+                        0, 0.02, (1, cj, 1, 1)).astype(np.float32)
+                    sd[f"model.{i}.im.{j}.implicit"] = rng.normal(
+                        1, 0.02, (1, no, 1, 1)).astype(np.float32)
+            chans.append(0)
+        elif op == "detect8":
+            ch0 = cins[0]
+            c2 = max(16, ch0 // 4, V8_REG_MAX * 4)
+            c3 = max(ch0, min(nc, 100))
+            for lvl, cj in enumerate(cins):
+                _convbn_keys(rng, sd, f"model.{i}.cv2.{lvl}.0", cj, c2, 3)
+                _convbn_keys(rng, sd, f"model.{i}.cv2.{lvl}.1", c2, c2, 3)
+                sd[f"model.{i}.cv2.{lvl}.2.weight"] = rng.normal(
+                    0, c2 ** -0.5, (4 * V8_REG_MAX, c2, 1, 1)).astype(np.float32)
+                sd[f"model.{i}.cv2.{lvl}.2.bias"] = rng.normal(
+                    0, 0.1, 4 * V8_REG_MAX).astype(np.float32)
+                _convbn_keys(rng, sd, f"model.{i}.cv3.{lvl}.0", cj, c3, 3)
+                _convbn_keys(rng, sd, f"model.{i}.cv3.{lvl}.1", c3, c3, 3)
+                sd[f"model.{i}.cv3.{lvl}.2.weight"] = rng.normal(
+                    0, c3 ** -0.5, (nc, c3, 1, 1)).astype(np.float32)
+                sd[f"model.{i}.cv3.{lvl}.2.bias"] = rng.normal(
+                    0, 0.1, nc).astype(np.float32)
+            chans.append(0)
+        else:
+            raise ValueError(f"unknown op {op!r} at layer {i}")
+    return sd
+
+
+# --------------------------------------------------------------------------
+# torch interpreter
+
+def run_spec_torch(spec: Sequence[Tuple], sd: Dict[str, np.ndarray],
+                   x_nchw: np.ndarray, *, nc: int, family: str
+                   ) -> List[np.ndarray]:
+    """Execute the vendored spec with torch.nn.functional (float32, CPU).
+
+    family ∈ {'yolov7_tiny', 'yolov7_base', 'yolov8'} — selects activation
+    (LeakyReLU(0.1) for tiny, SiLU otherwise) and BatchNorm epsilon
+    (upstream yolov7 uses nn.BatchNorm2d default 1e-5; ultralytics v8 uses
+    1e-3). Returns the raw per-level detect maps, NCHW numpy float32.
+    """
+    import torch
+    import torch.nn.functional as F
+
+    eps = 1e-5 if family.startswith("yolov7") else 1e-3
+    if family == "yolov7_tiny":
+        def act(v):
+            return F.leaky_relu(v, 0.1)
+    else:
+        act = F.silu
+
+    def t(key):
+        return torch.from_numpy(np.asarray(sd[key]))
+
+    def conv_bn(v, prefix, stride=1):
+        w = t(f"{prefix}.conv.weight")
+        v = F.conv2d(v, w, stride=stride, padding=w.shape[-1] // 2)
+        v = F.batch_norm(v, t(f"{prefix}.bn.running_mean"),
+                         t(f"{prefix}.bn.running_var"),
+                         t(f"{prefix}.bn.weight"), t(f"{prefix}.bn.bias"),
+                         training=False, eps=eps)
+        return act(v)
+
+    feats: List = []
+    outs: List[np.ndarray] = []
+    with torch.no_grad():
+        x0 = torch.from_numpy(np.asarray(x_nchw, np.float32))
+        for i, (frm, op, args) in enumerate(spec):
+            srcs = [frm] if isinstance(frm, int) else list(frm)
+            ins = [feats[s] if s >= 0 else (feats[i + s] if i + s >= 0 else x0)
+                   for s in srcs]
+            if i == 0:
+                ins = [x0]
+            v = ins[0]
+            if op == "conv":
+                _, _, s = args
+                v = conv_bn(v, f"model.{i}", stride=s)
+            elif op == "repconv":
+                w = t(f"model.{i}.rbr_reparam.weight")
+                v = F.conv2d(v, w, t(f"model.{i}.rbr_reparam.bias"),
+                             padding=w.shape[-1] // 2)
+                v = act(v)
+            elif op == "mp":
+                v = F.max_pool2d(v, 2, 2)
+            elif op == "sp":
+                (k,) = args
+                v = F.max_pool2d(v, k, 1, k // 2)
+            elif op == "upsample":
+                v = F.interpolate(v, scale_factor=2, mode="nearest")
+            elif op == "concat":
+                v = torch.cat(ins, dim=1)
+            elif op == "sppcspc":
+                p = f"model.{i}"
+                x1 = conv_bn(conv_bn(conv_bn(v, f"{p}.cv1"), f"{p}.cv3"),
+                             f"{p}.cv4")
+                pools = [x1] + [F.max_pool2d(x1, k, 1, k // 2)
+                                for k in (5, 9, 13)]
+                y1 = conv_bn(conv_bn(torch.cat(pools, 1), f"{p}.cv5"),
+                             f"{p}.cv6")
+                y2 = conv_bn(v, f"{p}.cv2")
+                v = conv_bn(torch.cat([y1, y2], 1), f"{p}.cv7")
+            elif op == "c2f":
+                _, n, shortcut = args
+                p = f"model.{i}"
+                y = conv_bn(v, f"{p}.cv1")
+                a, b = y.chunk(2, 1)
+                ys = [a, b]
+                for j in range(n):
+                    z = conv_bn(conv_bn(ys[-1], f"{p}.m.{j}.cv1"),
+                                f"{p}.m.{j}.cv2")
+                    if shortcut:
+                        z = z + ys[-1]
+                    ys.append(z)
+                v = conv_bn(torch.cat(ys, 1), f"{p}.cv2")
+            elif op == "sppf":
+                p = f"model.{i}"
+                y = conv_bn(v, f"{p}.cv1")
+                p1 = F.max_pool2d(y, 5, 1, 2)
+                p2 = F.max_pool2d(p1, 5, 1, 2)
+                p3 = F.max_pool2d(p2, 5, 1, 2)
+                v = conv_bn(torch.cat([y, p1, p2, p3], 1), f"{p}.cv2")
+            elif op == "detect":
+                for j, vin in enumerate(ins):
+                    ia = f"model.{i}.ia.{j}.implicit"
+                    if ia in sd:
+                        vin = vin + t(ia)
+                    o = F.conv2d(vin, t(f"model.{i}.m.{j}.weight"),
+                                 t(f"model.{i}.m.{j}.bias"))
+                    im = f"model.{i}.im.{j}.implicit"
+                    if im in sd:
+                        o = o * t(im)
+                    outs.append(o.numpy())
+                v = None
+            elif op == "detect8":
+                for lvl, vin in enumerate(ins):
+                    p = f"model.{i}"
+                    bx = conv_bn(conv_bn(vin, f"{p}.cv2.{lvl}.0"),
+                                 f"{p}.cv2.{lvl}.1")
+                    bx = F.conv2d(bx, t(f"{p}.cv2.{lvl}.2.weight"),
+                                  t(f"{p}.cv2.{lvl}.2.bias"))
+                    cl = conv_bn(conv_bn(vin, f"{p}.cv3.{lvl}.0"),
+                                 f"{p}.cv3.{lvl}.1")
+                    cl = F.conv2d(cl, t(f"{p}.cv3.{lvl}.2.weight"),
+                                  t(f"{p}.cv3.{lvl}.2.bias"))
+                    outs.append(torch.cat([bx, cl], 1).numpy())
+                v = None
+            else:
+                raise ValueError(f"unknown op {op!r} at layer {i}")
+            feats.append(v)
+    return outs

@@ -35,6 +35,9 @@ ANCHORS_BASE = (
     ((142, 110), (192, 243), (459, 401)),
 )
 STRIDES = (8, 16, 32)
+# upstream yolov7 uses nn.BatchNorm2d default eps (1e-5), unlike ultralytics
+# v8's 1e-3 — must match for imported-weight parity (test_arch_differential)
+BN_EPS = 1e-5
 
 
 class ELANTiny(nn.Module):
@@ -43,13 +46,14 @@ class ELANTiny(nn.Module):
     c_out: int
     act: str = "leaky"
     dtype: Any = jnp.bfloat16
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x may be a LIST of feature maps (a deferred concat from the
         # caller); ConvBN owns the lowering choice — see its docstring for
         # the measured concat-vs-split trade-off.
-        kw = dict(act=self.act, dtype=self.dtype)
+        kw = dict(act=self.act, dtype=self.dtype, bn_eps=self.bn_eps)
         cv1 = ConvBN(self.c_mid, 1, name="cv1", **kw)(x, train)
         cv2 = ConvBN(self.c_mid, 1, name="cv2", **kw)(x, train)
         cv3 = ConvBN(self.c_mid, 3, name="cv3", **kw)(cv2, train)
@@ -67,10 +71,11 @@ class ELAN(nn.Module):
     head: bool = False
     act: str = "silu"
     dtype: Any = jnp.bfloat16
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act=self.act, dtype=self.dtype)
+        kw = dict(act=self.act, dtype=self.dtype, bn_eps=self.bn_eps)
         c_inner = self.c_mid // 2 if self.head else self.c_mid
         cv1 = ConvBN(self.c_mid, 1, name="cv1", **kw)(x, train)
         cv2 = ConvBN(self.c_mid, 1, name="cv2", **kw)(x, train)
@@ -91,10 +96,11 @@ class MPConv(nn.Module):
     c: int
     act: str = "silu"
     dtype: Any = jnp.bfloat16
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act=self.act, dtype=self.dtype)
+        kw = dict(act=self.act, dtype=self.dtype, bn_eps=self.bn_eps)
         a = ConvBN(self.c, 1, name="pool_cv", **kw)(maxpool2(x), train)
         b = ConvBN(self.c, 1, name="pre_cv", **kw)(x, train)
         b = ConvBN(self.c, 3, stride=2, name="down_cv", **kw)(b, train)
@@ -108,10 +114,11 @@ class SPPCSPC(nn.Module):
     c_out: int
     act: str = "silu"
     dtype: Any = jnp.bfloat16
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act=self.act, dtype=self.dtype)
+        kw = dict(act=self.act, dtype=self.dtype, bn_eps=self.bn_eps)
         c = self.c_out
         cv1 = ConvBN(c, 1, name="cv1", **kw)(x, train)
         cv3 = ConvBN(c, 3, name="cv3", **kw)(cv1, train)
@@ -135,10 +142,11 @@ class SPPCSPCTiny(nn.Module):
     c_out: int
     act: str = "leaky"
     dtype: Any = jnp.bfloat16
+    bn_eps: float = BN_EPS
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        kw = dict(act=self.act, dtype=self.dtype)
+        kw = dict(act=self.act, dtype=self.dtype, bn_eps=self.bn_eps)
         c = self.c_out
         cv1 = ConvBN(c, 1, name="cv1", **kw)(x, train)
         cv2 = ConvBN(c, 1, name="cv2", **kw)(x, train)
@@ -196,7 +204,7 @@ class YOLOv7(nn.Module):
         return outs
 
     def _tiny(self, x, train):
-        kw = dict(act="leaky", dtype=self.dtype)
+        kw = dict(act="leaky", dtype=self.dtype, bn_eps=BN_EPS)
         if self.from_p2:
             assert not train, "from_p2 is an inference-only lowering"
         elif self.s2d_stem:
@@ -238,7 +246,7 @@ class YOLOv7(nn.Module):
         return [o3, o4, o5]
 
     def _base(self, x, train):
-        kw = dict(act="silu", dtype=self.dtype)
+        kw = dict(act="silu", dtype=self.dtype, bn_eps=BN_EPS)
         dt = self.dtype
         x = ConvBN(32, 3, name="stem0", **kw)(x, train)
         x = ConvBN(64, 3, stride=2, name="stem1", **kw)(x, train)       # P1/2

@@ -39,15 +39,16 @@ import numpy as np
 
 
 def s2d_kernel_transform(w):
-    """[3,3,Cin,Cout] stride-2 SAME conv kernel -> [2,2,4*Cin,Cout]: the
-    equivalent stride-1 2x2 conv over the space_to_depth2 grid (padding
-    ((0,1),(0,1))).
+    """[3,3,Cin,Cout] stride-2 torch-padded (k//2 = (1,1)) conv kernel ->
+    [2,2,4*Cin,Cout]: the equivalent stride-1 2x2 conv over the
+    space_to_depth2 grid, cell-space padding ((1,0),(1,0)).
 
-    SAME stride-2 over even H pads (0,1), so out[y] reads rows 2y..2y+2 =
-    s2d cells y (dy 0,1) and y+1 (dy 0); tap (u, v, dy, dx) maps to
-    original tap (2u+dy, 2v+dx), zero where that exceeds the 3x3 support.
-    The input-channel axis is s2d order (dy, dx, c), matching
-    models.layers.space_to_depth2. Parity-proven in examples/ab_stem.py.
+    Torch-padded stride-2 out[y] reads rows 2y-1..2y+1 = s2d cell y-1
+    (dy 1) and cell y (dy 0,1); tap (u, v, dy, dx) over cells
+    (y-1+u, x-1+v) maps to original tap (2u+dy-1, 2v+dx-1), zero where
+    that falls outside the 3x3 support (only (u,dy)=(0,0)). The
+    input-channel axis is s2d order (dy, dx, c), matching
+    models.layers.space_to_depth2. Parity-pinned in tests/test_quadstem.py.
     """
     k, _, cin, cout = np.shape(w)
     assert k == 3
@@ -55,44 +56,50 @@ def s2d_kernel_transform(w):
     w4 = jnp.zeros((2, 2, 2, 2, cin, cout), jnp.float32)  # [u,v,dy,dx,c,o]
     for u in range(2):
         for dy in range(2):
-            if 2 * u + dy > 2:
+            ky = 2 * u + dy - 1
+            if not 0 <= ky <= 2:
                 continue
             for v in range(2):
                 for dx in range(2):
-                    if 2 * v + dx > 2:
+                    kx = 2 * v + dx - 1
+                    if not 0 <= kx <= 2:
                         continue
-                    w4 = w4.at[u, v, dy, dx].set(w[2 * u + dy, 2 * v + dx])
+                    w4 = w4.at[u, v, dy, dx].set(w[ky, kx])
     return w4.reshape(2, 2, 4 * cin, cout)
 
 
 def quad_kernel_transform(w):
-    """[3,3,Cin,Cout] stride-2 SAME conv kernel -> [2,2,16*Cin,4*Cout]:
-    a stride-1 2x2 conv over quad-layout cells (4x4 original pixels per
-    cell) computing a 2x2 OUTPUT quad jointly.
+    """[3,3,Cin,Cout] stride-2 torch-padded (k//2 = (1,1)) conv kernel ->
+    [2,2,16*Cin,4*Cout]: a stride-1 2x2 conv over quad-layout cells (4x4
+    original pixels per cell) computing a 2x2 OUTPUT quad jointly,
+    cell-space padding ((1,0),(1,0)).
 
     Output quad pixel (a, b) of cell (R, C) is conv output (2R+a, 2C+b),
-    reading original rows 4R + 2a + ky — i.e. quad cell row R+p with
-    p = (2a+ky)//4 and in-cell offset (e, dy) = divmod((2a+ky)%4, 2).
-    Input channels use the HOST-PACK order (e, dy, f, dx, c) — chosen so
-    the ingest plane's relayout is four bulk row-strided copies (see
-    host_s2d2_into), NOT the (e, f, dy, dx, c) order two applications of
-    space_to_depth2 would give. Output channels are (a, b, Cout) —
-    exactly the s2d layout of the produced feature map.
+    reading original rows 4R + 2a + ky − 1 — i.e. quad cell row R+p with
+    p = (2a+ky−1)//4 (floor; −1 → previous cell, covered by the lo pad)
+    and in-cell offset (e, dy) = divmod((2a+ky−1) mod 4, 2). The kernel
+    tap index is u = p+1 ∈ {0,1}. Input channels use the HOST-PACK order
+    (e, dy, f, dx, c) — chosen so the ingest plane's relayout is four
+    bulk row-strided copies (see host_s2d2_into), NOT the
+    (e, f, dy, dx, c) order two applications of space_to_depth2 would
+    give. Output channels are (a, b, Cout) — exactly the s2d layout of
+    the produced feature map.
     """
     k, _, cin, cout = np.shape(w)
     assert k == 3
     w = jnp.asarray(w, jnp.float32)
     wq = jnp.zeros((2, 2, 2, 2, 2, 2, cin, 2, 2, cout), jnp.float32)
-    # [p, q, e, dy, f, dx, c, a, b, o]
+    # [u, v, e, dy, f, dx, c, a, b, o]
     for a in range(2):
         for ky in range(3):
-            p, r = divmod(2 * a + ky, 4)
+            p, r = divmod(2 * a + ky - 1, 4)
             e, dy = divmod(r, 2)
             for b in range(2):
                 for kx in range(3):
-                    q, s = divmod(2 * b + kx, 4)
+                    q, s = divmod(2 * b + kx - 1, 4)
                     f, dx = divmod(s, 2)
-                    wq = wq.at[p, q, e, dy, f, dx, :, a, b, :].set(w[ky, kx])
+                    wq = wq.at[p + 1, q + 1, e, dy, f, dx, :, a, b, :].set(
+                        w[ky, kx])
     return wq.reshape(2, 2, 16 * cin, 4 * cout)
 
 
@@ -153,14 +160,19 @@ def fold_convbn(p, s, eps: float = 1e-3):
 
 def quad_stem_forward(variables, xq, *, act: str = "leaky",
                       in_scale=1.0 / 255.0, dtype=jnp.bfloat16,
-                      stem_names=("stem0", "stem1")):
+                      stem_names=("stem0", "stem1"), bn_eps: float = 1e-5):
     """s2d^2 input [B,H/4,W/4,48] (uint8 or float) -> stem features
     [B,H/4,W/4,c1], numerically the standard stems applied to x/255 up to
     bf16 rounding (measured max-abs-diff 0.008 at activation scale 0.2).
+
+    bn_eps must match the model family (yolov7: 1e-5, yolov8: 1e-3 —
+    models/layers.ConvBN.bn_eps).
     """
     params, stats = variables["params"], variables["batch_stats"]
-    w0, b0 = fold_convbn(params[stem_names[0]], stats[stem_names[0]])
-    w1, b1 = fold_convbn(params[stem_names[1]], stats[stem_names[1]])
+    w0, b0 = fold_convbn(params[stem_names[0]], stats[stem_names[0]],
+                         eps=bn_eps)
+    w1, b1 = fold_convbn(params[stem_names[1]], stats[stem_names[1]],
+                         eps=bn_eps)
     w0q = quad_kernel_transform(w0)               # [2,2,48,4*c0]
     w1q = s2d_kernel_transform(w1)                # [2,2,4*c0,c1]
     b0q = jnp.tile(b0, 4)
@@ -168,8 +180,10 @@ def quad_stem_forward(variables, xq, *, act: str = "leaky",
     x = xq.astype(dtype)
 
     def conv2(v, w):
+        # ((1,0),(1,0)) cell-space padding = torch k//2 padding of the
+        # underlying stride-2 conv (see the kernel-transform docstrings)
         return jax.lax.conv_general_dilated(
-            v, w.astype(v.dtype), (1, 1), [(0, 1), (0, 1)],
+            v, w.astype(v.dtype), (1, 1), [(1, 0), (1, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     if act == "leaky":

@@ -25,7 +25,7 @@ def main():
         np.random.default_rng(0).random((B, S, S, 3)), jnp.bfloat16)
 
     fwd_std = jax.jit(lambda v, im: bundle.forward(v, im))
-    folded = fold_batchnorm(bundle.params)
+    folded = fold_batchnorm(bundle.params, eps=1e-5)  # yolov7 family eps
 
     def fwd_folded_traced(v, im):
         with folded_convbn():

@@ -1,0 +1,103 @@
+"""Differential architecture test: vendored upstream specs vs the flax models.
+
+The in-environment substitute for real-weight parity goldens (the blobs are
+DNS-blocked — STATUS.md): models/upstream_spec.py vendors the upstream yaml
+layer tables as DATA and executes them with an independent torch
+interpreter; here we generate random upstream-named state dicts, import
+them through models/import_torch's hand-typed mapping into the flax
+models, and assert the raw detect maps agree. Any silent transcription
+divergence — wrong concat order, wrong from-index, wrong padding, wrong BN
+epsilon, a wrong weight-mapping entry — shows up as a numeric mismatch.
+This is the test that would have auto-caught the round-1 SPPCSPCTiny bug
+(models/yolov7.py:126-149) and the round-3 stride-2 SAME-vs-torch padding
+bug it did catch on first run.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aerial_image_recognition_tpu.models.upstream_spec import (
+    YOLOV7_BASE_SPEC, YOLOV7_TINY_SPEC, make_state_dict, run_spec_torch,
+    yolov8_spec)
+from aerial_image_recognition_tpu.models.import_torch import (
+    import_torch_state, yolov7_base_mapping, yolov7_detect_from_torch,
+    yolov7_tiny_mapping, yolov8_mapping)
+from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
+from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
+
+
+def _rel_err(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-6))
+
+
+def _assert_levels_match(flax_outs, torch_outs, tol: float):
+    assert len(flax_outs) == len(torch_outs)
+    for lvl, (f, t) in enumerate(zip(flax_outs, torch_outs)):
+        f = np.asarray(f)                       # NHWC
+        t = np.transpose(t, (0, 2, 3, 1))       # NCHW → NHWC
+        assert f.shape == t.shape, (lvl, f.shape, t.shape)
+        err = _rel_err(f, t)
+        assert err < tol, f"level {lvl}: rel err {err:.2e} ≥ {tol}"
+
+
+@pytest.mark.parametrize("variant,spec,detect_idx,mapping_fn", [
+    ("tiny", YOLOV7_TINY_SPEC, 77, yolov7_tiny_mapping),
+    ("base", YOLOV7_BASE_SPEC, 105, yolov7_base_mapping),
+])
+def test_yolov7_differential(variant, spec, detect_idx, mapping_fn):
+    nc = 1
+    sd = make_state_dict(spec, nc=nc, seed=7)
+    x = np.random.default_rng(1).uniform(0, 1, (2, 3, 64, 64)).astype(
+        np.float32)
+
+    torch_outs = run_spec_torch(spec, sd, x, nc=nc,
+                                family=f"yolov7_{variant}")
+
+    variables = import_torch_state(sd, mapping_fn())
+    variables = yolov7_detect_from_torch(sd, variables,
+                                         detect_idx=detect_idx)
+    model = YOLOv7(num_classes=nc, variant=variant, dtype=jnp.float32)
+    flax_outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            train=False)
+    _assert_levels_match(flax_outs, torch_outs, tol=2e-4)
+
+
+@pytest.mark.parametrize("scale", ["n", "m"])
+def test_yolov8_differential(scale):
+    # n: width 0.25 / ratio 2.0, depth 1; m: width 0.75 / ratio 1.5,
+    # depth 2-4 — together they exercise every channel/depth resolution rule
+    nc = 2
+    spec = yolov8_spec(scale)
+    sd = make_state_dict(spec, nc=nc, seed=11)
+    x = np.random.default_rng(2).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+
+    torch_outs = run_spec_torch(spec, sd, x, nc=nc, family="yolov8")
+
+    d = {"n": 1 / 3, "s": 1 / 3, "m": 2 / 3, "l": 1.0, "x": 1.0}[scale]
+    n3, n6 = max(1, round(3 * d)), max(1, round(6 * d))
+    n_c2f = {"c2f1": n3, "c2f2": n6, "c2f3": n6, "c2f4": n3,
+             "fpn4": n3, "fpn3": n3, "pan4": n3, "pan5": n3}
+    variables = import_torch_state(sd, yolov8_mapping(n_c2f))
+    model = YOLOv8(num_classes=nc, scale=scale, dtype=jnp.float32)
+    flax_outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                            train=False)
+    _assert_levels_match(flax_outs, torch_outs, tol=2e-4)
+
+
+def test_v8_spec_channels_match_flax_shapes():
+    """The spec's independent channel arithmetic (ultralytics
+    make_divisible/min(max_channels)) must agree with models/yolov8._r for
+    every scale — otherwise imported real weights would shape-mismatch."""
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        V8_SCALES, _mdiv8)
+    from aerial_image_recognition_tpu.models.yolov8 import SCALES, _r
+    for sc, (d, w, maxc) in V8_SCALES.items():
+        _, w2, r2 = SCALES[sc]
+        for base in (64, 128, 256, 512, 1024):
+            spec_c = _mdiv8(min(base, maxc) * w)
+            ours = _r(min(base, 512 * r2) if base == 1024 else base, w2)
+            if base == 1024:
+                ours = _r(512 * r2, w2)
+            assert spec_c == ours, (sc, base, spec_c, ours)

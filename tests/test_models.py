@@ -226,10 +226,10 @@ def test_fold_batchnorm_parity():
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)).astype(np.float32))
-    for name in ("yolov7_itcvd", "yolov8_tokyo"):
+    for name, eps in (("yolov7_itcvd", 1e-5), ("yolov8_tokyo", 1e-3)):
         bundle = create_model(name, dtype=jnp.float32, seed=4)
         ref_b, ref_s = bundle.forward(bundle.params, x)
-        folded = fold_batchnorm(bundle.params)
+        folded = fold_batchnorm(bundle.params, eps=eps)
         assert "batch_stats" not in folded
         with folded_convbn():
             fb, fs = bundle.forward(folded, x)
