@@ -147,7 +147,38 @@ def main(argv: Optional[List[str]] = None) -> int:
     pe.add_argument("out", help="output .onnx path")
     pe.add_argument("--model", default="yolov7_itcvd")
 
+    pi = sub.add_parser("import-weights", help="turnkey weight drop: a "
+                        "reference .onnx blob (torch state-dict initializer "
+                        "names) → framework .npz checkpoint, shape-validated "
+                        "against the chosen registry model")
+    pi.add_argument("onnx", help="reference .onnx blob (e.g. "
+                    "car_aerial_detection_yolo7_ITCVD_deepness.onnx)")
+    pi.add_argument("--model", default="yolov7_itcvd",
+                    help="registry model the blob belongs to "
+                         "(yolov7_itcvd, yolov7_base, yolov8_tokyo, "
+                         "yolov8n..x)")
+    pi.add_argument("--out", required=True, help="output .npz checkpoint")
+
     args = parser.parse_args(argv)
+
+    if args.command == "import-weights":
+        import jax.numpy as jnp
+        from aerial_image_recognition_tpu.models.import_torch import (
+            validate_variable_shapes, variables_from_torch_state)
+        from aerial_image_recognition_tpu.models.onnx_lite import (
+            load_onnx_initializers)
+        from aerial_image_recognition_tpu.models.registry import (
+            create_model, save_params)
+        sd = load_onnx_initializers(args.onnx)
+        if not sd:
+            raise SystemExit(f"no initializer tensors found in {args.onnx!r}")
+        variables = variables_from_torch_state(sd, args.model)
+        ref = create_model(args.model, dtype=jnp.float32)
+        validate_variable_shapes(variables, ref.params)
+        save_params(variables, args.out)
+        print(json.dumps({"out": args.out, "model": args.model,
+                          "initializers": len(sd)}))
+        return 0
 
     if args.command == "export":
         import jax.numpy as jnp

@@ -53,6 +53,63 @@ def test_onnx_feeds_torch_mapping(tmp_path):
     np.testing.assert_array_equal(np.asarray(got_leaf), np.asarray(ref_leaf))
 
 
+@pytest.mark.parametrize("model,family", [
+    ("yolov7_itcvd", "yolov7_tiny"),
+    ("yolov8n", "yolov8"),
+])
+def test_cli_import_weights_drill(tmp_path, model, family):
+    """The turnkey weight-drop drill (VERDICT r2 item 6): fabricate a
+    synthetic upstream-named .onnx blob, run the CLI `import-weights` verb,
+    and verify the resulting .npz forward-matches the independent torch
+    interpreter on the same weights. When a real blob ever lands, parity
+    goldens are exactly this one command away."""
+    import json
+
+    import jax.numpy as jnp
+
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        YOLOV7_TINY_SPEC, make_state_dict, run_spec_torch, yolov8_spec)
+    from aerial_image_recognition_tpu.pipeline.cli import main
+
+    nc = 1 if family == "yolov7_tiny" else 2
+    spec = YOLOV7_TINY_SPEC if family == "yolov7_tiny" else yolov8_spec("n")
+    sd = make_state_dict(spec, nc=nc, seed=3)
+    blob = str(tmp_path / "blob.onnx")
+    write_minimal_onnx(blob, sd)
+
+    out = str(tmp_path / "imported.npz")
+    assert main(["import-weights", blob, "--model", model,
+                 "--out", out]) == 0
+
+    bundle = create_model(model, dtype=jnp.float32)
+    variables = load_params(out)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    flax_outs = bundle.module.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    torch_outs = run_spec_torch(spec, sd, x, nc=nc, family=family)
+    for f, t in zip(flax_outs, torch_outs):
+        f, t = np.asarray(f), np.transpose(t, (0, 2, 3, 1))
+        assert np.max(np.abs(f - t)) / (np.max(np.abs(t)) + 1e-6) < 2e-4
+
+
+def test_cli_import_weights_shape_validation(tmp_path):
+    """Importing a blob against the wrong registry model must fail loudly
+    with a shape report, not save a silently-wrong checkpoint."""
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        YOLOV7_TINY_SPEC, make_state_dict)
+    from aerial_image_recognition_tpu.pipeline.cli import main
+
+    sd = make_state_dict(YOLOV7_TINY_SPEC, nc=3, seed=0)  # wrong nc
+    blob = str(tmp_path / "blob.onnx")
+    write_minimal_onnx(blob, sd)
+    with pytest.raises((ValueError, SystemExit)):
+        main(["import-weights", blob, "--model", "yolov7_itcvd",
+              "--out", str(tmp_path / "x.npz")])
+
+
 def test_cli_export_roundtrip(tmp_path):
     """CLI `export` writes a reference-format .onnx initializer blob that
     imports back to the identical weight tree (the switch-back path for
