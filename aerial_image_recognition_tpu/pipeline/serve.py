@@ -58,8 +58,13 @@ class DetectionServer:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "detections": 0,
                       "errors": 0, "timeouts": 0, "batch_fill_sum": 0,
-                      "compute_s": 0.0}
+                      "resized": 0, "compute_s": 0.0}
         self._stats_lock = threading.Lock()
+        # dispatched-but-unread batches (group, device results): depth 2
+        # bounds in-flight device memory while letting batch N+1 assemble
+        # and dispatch during batch N's readback (run_pipeline's overlap
+        # pattern, applied to serving)
+        self._inflight: "queue.Queue" = queue.Queue(maxsize=2)
 
         server = self
 
@@ -113,11 +118,14 @@ class DetectionServer:
                     return
                 s = server.step.input_size
                 if img.shape[0] != s or img.shape[1] != s:
+                    # reference behavior: resize whatever arrives to the
+                    # model size (gpu_handler.py:74-76, simple_detector.py:
+                    # 655-659) — a 400 here was a parity gap (round 3)
+                    from PIL import Image
+                    img = np.asarray(Image.fromarray(img).resize(
+                        (s, s), Image.BILINEAR))
                     with server._stats_lock:
-                        server.stats["errors"] += 1
-                    self._reply(400, {"error": f"expected {s}x{s} image, "
-                                      f"got {img.shape[1]}x{img.shape[0]}"})
-                    return
+                        server.stats["resized"] += 1
                 p = _Pending(image=img, bounds=bounds,
                              deadline=time.perf_counter() + 60.0)
                 server._q.put(p)
@@ -140,6 +148,8 @@ class DetectionServer:
             target=self._httpd.serve_forever, daemon=True, name="serve-http")
         self._batch_thread = threading.Thread(
             target=self._batch_loop, daemon=True, name="serve-batch")
+        self._readback_thread = threading.Thread(
+            target=self._readback_loop, daemon=True, name="serve-readback")
 
     # ------------------------------------------------------------ lifecycle
 
@@ -159,6 +169,7 @@ class DetectionServer:
             float(np.asarray(lon).sum())
         self._serve_thread.start()
         self._batch_thread.start()
+        self._readback_thread.start()
         return self
 
     def stop(self):
@@ -172,12 +183,26 @@ class DetectionServer:
                 p.event.set()
         except queue.Empty:
             pass
+        # in-flight batches still complete: the readback loop drains
+        # _inflight (sentinel-terminated) so dispatched requests get real
+        # results, not drops
+        if self._batch_thread.is_alive():
+            self._batch_thread.join(timeout=5.0)
+        if self._readback_thread.is_alive():
+            try:
+                self._inflight.put(None, timeout=1.0)
+            except queue.Full:
+                pass
+            self._readback_thread.join(timeout=10.0)
         self._httpd.shutdown()
         self._httpd.server_close()
 
     # ------------------------------------------------------------ batching
 
     def _batch_loop(self):
+        """Assemble + DISPATCH batches. jit dispatch is async, so the step
+        call returns device futures; the readback loop converts them while
+        this loop is already assembling/dispatching the next batch."""
         step = self.step
         b, s = step.batch, step.input_size
         while not self._stop.is_set():
@@ -206,14 +231,37 @@ class DetectionServer:
             for i, p in enumerate(group):
                 imgs[i] = p.image
                 bnds[i] = p.bounds
+            t0 = time.perf_counter()
             try:
-                t0 = time.perf_counter()
-                det, lon, lat = step(imgs, bnds)
+                det, _lon, _lat = step(imgs, bnds)
+            except Exception as e:                  # surface to all waiters
+                with self._stats_lock:
+                    self.stats["errors"] += len(group)
+                for p in group:
+                    p.error = repr(e)
+                    p.event.set()
+                continue
+            self._inflight.put((group, det, bnds, t0))
+
+    def _readback_loop(self):
+        """Device→host readback + per-request reply, one batch behind
+        dispatch. A compute error raised at readback (async dispatch
+        surfaces failures on materialization) is broadcast to the batch's
+        waiters."""
+        step = self.step
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                if self._stop.is_set():
+                    return
+                continue
+            group, det, bnds, t0 = item
+            try:
                 recs = detections_to_records(
                     det, bnds, model_size=step.model_size,
                     class_names=step.bundle.spec.class_names)
                 dt = time.perf_counter() - t0
-            except Exception as e:                  # surface to all waiters
+            except Exception as e:
                 with self._stats_lock:
                     self.stats["errors"] += len(group)
                 for p in group:

@@ -82,12 +82,13 @@ def test_serve_detects_and_batches():
         assert stats["requests"] == 8
         assert stats["batches"] < 8, "no batching happened"
 
-        # probes: wrong size, garbage body, missing bounds
+        # probes: non-model-size (resized, not rejected — reference
+        # behavior, gpu_handler.py:74-76), garbage body, missing bounds
         r = requests.post(srv.url + "/detect",
                           params={"west": 0, "south": 0, "east": 1,
                                   "north": 1},
-                          data=_small_png(), timeout=10)
-        assert r.status_code == 400 and "expected 96x96" in r.text
+                          data=_small_png(), timeout=60)
+        assert r.status_code == 200 and r.json()["count"] == 0
         r = requests.post(srv.url + "/detect",
                           params={"west": 0, "south": 0, "east": 1,
                                   "north": 1},
@@ -105,3 +106,149 @@ def _small_png():
     buf = io.BytesIO()
     Image.fromarray(np.zeros((10, 10, 3), np.uint8)).save(buf, "PNG")
     return buf.getvalue()
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="trained fixture not present")
+def test_serve_mixed_size_burst_with_latency():
+    """50-client burst of MIXED-size images (the reference accepted any
+    size and resized): every request succeeds, detection quality holds for
+    2x-resolution inputs, and p50/p99 stay within serving bounds."""
+    import time
+
+    srv = _server()
+    try:
+        def one(k):
+            lon, lat, _ = WORLD.cars[(k * 11) % len(WORLD.cars)]
+            bbox = (lon - 4.8 * M2LON, lat - 4.8 * M2LAT,
+                    lon + 4.8 * M2LON, lat + 4.8 * M2LAT)
+            size = (48, 96, 192)[k % 3]
+            img = WORLD.render(bbox, size, size)
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, "JPEG", quality=95)
+            t0 = time.perf_counter()
+            r = requests.post(
+                srv.url + "/detect",
+                params={"west": bbox[0], "south": bbox[1],
+                        "east": bbox[2], "north": bbox[3]},
+                data=buf.getvalue(), timeout=120)
+            return r, time.perf_counter() - t0, size, (lon, lat)
+
+        with cf.ThreadPoolExecutor(50) as pool:
+            results = list(pool.map(one, range(50)))
+
+        lat_s = sorted(t for _, t, _, _ in results)
+        hits_192 = n_192 = 0
+        for r, _, size, (tlon, tlat) in results:
+            assert r.status_code == 200, r.text
+            if size == 192:
+                n_192 += 1
+                dets = r.json()["detections"]
+                if dets and min(np.hypot((d["lon"] - tlon) / M2LON,
+                                         (d["lat"] - tlat) / M2LAT)
+                                for d in dets) < 2.0:
+                    hits_192 += 1
+        assert hits_192 >= 0.7 * n_192, (hits_192, n_192)
+
+        stats = requests.get(srv.url + "/stats", timeout=10).json()
+        assert stats["resized"] >= 2 * 50 // 3   # 48s and 192s resized
+        assert stats["batches"] <= 50            # coalescing happened
+        # generous CPU-host bounds: the real latency numbers live in
+        # BASELINE.md; this pins "no request is serialized per-request"
+        p50 = lat_s[len(lat_s) // 2]
+        p99 = lat_s[int(len(lat_s) * 0.99)]
+        assert p50 < 30.0 and p99 < 90.0, (p50, p99)
+    finally:
+        srv.stop()
+
+
+def _fake_bundle():
+    from types import SimpleNamespace
+    return SimpleNamespace(spec=SimpleNamespace(
+        name="fake", class_names=("car",), num_classes=1))
+
+
+def test_serve_compute_error_broadcast():
+    """A step failure must 503 every waiter in the batch (and count
+    errors), not hang them until timeout."""
+    from aerial_image_recognition_tpu.pipeline.serve import DetectionServer
+
+    class BoomStep:
+        batch, input_size, model_size = 4, 16, 16
+        bundle = _fake_bundle()
+
+        def __call__(self, imgs, bnds):
+            raise RuntimeError("boom-injected")
+
+    srv = DetectionServer(detect_step=BoomStep(), max_wait_ms=5.0)
+    srv.start(warmup=False)
+    try:
+        img = io.BytesIO()
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img, "PNG")
+
+        def one(_):
+            return requests.post(
+                srv.url + "/detect",
+                params={"west": 0, "south": 0, "east": 1, "north": 1},
+                data=img.getvalue(), timeout=30)
+
+        with cf.ThreadPoolExecutor(4) as pool:
+            rs = list(pool.map(one, range(4)))
+        for r in rs:
+            assert r.status_code == 503 and "boom-injected" in r.text
+        stats = requests.get(srv.url + "/stats", timeout=10).json()
+        assert stats["errors"] >= 4
+    finally:
+        srv.stop()
+
+
+def test_serve_stop_drains_pending_waiters():
+    """stop() mid-flight: queued requests get an immediate 'server
+    stopping' 503 instead of expiring one by one; already-dispatched
+    batches still complete (readback drain)."""
+    import time
+    from aerial_image_recognition_tpu.ops.nms import Detections
+    from aerial_image_recognition_tpu.pipeline.serve import DetectionServer
+
+    class SlowStep:
+        batch, input_size, model_size = 2, 16, 16
+        bundle = _fake_bundle()
+
+        def __call__(self, imgs, bnds):
+            time.sleep(1.0)
+            b = imgs.shape[0]
+            z = np.zeros((b, 4, 4), np.float32)
+            det = Detections(boxes=np.zeros((b, 4, 4), np.float32),
+                             scores=np.zeros((b, 4), np.float32),
+                             classes=np.zeros((b, 4), np.int32),
+                             valid=np.zeros((b, 4), bool))
+            return det, z[..., 0], z[..., 0]
+
+    srv = DetectionServer(detect_step=SlowStep(), max_wait_ms=1.0)
+    srv.start(warmup=False)
+    img = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img, "PNG")
+
+    def one(_):
+        t0 = time.perf_counter()
+        r = requests.post(
+            srv.url + "/detect",
+            params={"west": 0, "south": 0, "east": 1, "north": 1},
+            data=img.getvalue(), timeout=30)
+        return r.status_code, r.json().get("error", ""), \
+            time.perf_counter() - t0
+
+    with cf.ThreadPoolExecutor(10) as pool:
+        futs = [pool.submit(one, i) for i in range(10)]
+        time.sleep(0.5)          # let requests enqueue / first batch dispatch
+        srv.stop()
+        rs = [f.result(timeout=30) for f in futs]
+    codes = [c for c, _, _ in rs]
+    assert 503 in codes, "queued waiters were not drained"
+    for code, err, dt in rs:
+        assert code in (200, 503)
+        if code == 503:
+            assert "stopping" in err or "timed out" in err
+        assert dt < 15.0, "a waiter sat out its full timeout"
+    drained = sum(1 for c, e, _ in rs if c == 503 and "stopping" in e)
+    assert drained >= 1
