@@ -42,9 +42,18 @@ from aerial_image_recognition_tpu.runtime.observability import (
 class CarDetector:
     def __init__(self, base_dir: str = ".",
                  custom_config: Optional[Dict] = None,
-                 fetcher=None, detect_step=None):
+                 fetcher=None, detect_step=None, tile_filter=None):
         """fetcher/detect_step injection keeps integration tests hermetic
-        (fake server + tiny model) without patching."""
+        (fake server + tiny model) without patching.
+
+        tile_filter: optional (tiles [N,4] w/s/e/n) → boolean mask / index
+        array selecting the subset THIS process scans. The multi-host
+        fetch-plane sharding hook (SURVEY §2.3 DCN row): every host
+        generates the identical GLOBAL grid (deterministic — resume and
+        cross-host merge depend on it) and scans only its own stripe's
+        tiles; per-tile results are then bitwise-identical to a
+        single-host scan and a radius dedup merges the stripe outputs
+        exactly (parallel/distributed.merge_host_detections)."""
         self.base_dir = base_dir
         self.config = DetectorConfig().merged(custom_config or {})
         self.timers = PhaseTimer()
@@ -52,6 +61,7 @@ class CarDetector:
         self._paths()
         self._fetcher = fetcher
         self._detect_step = detect_step
+        self._tile_filter = tile_filter
         self._interrupted = False
 
     # ------------------------------------------------------------ setup
@@ -116,6 +126,12 @@ class CarDetector:
 
         with self.timers.phase("grid_creation"):
             tiles = generate_tiles(bounds, c.tile_size_meters, c.tile_overlap)
+            if self._tile_filter is not None:
+                import numpy as _np
+                sel = _np.asarray(self._tile_filter(_np.asarray(tiles)))
+                tiles = [t for t, keep in zip(
+                    tiles, sel if sel.dtype == bool else
+                    _np.isin(_np.arange(len(tiles)), sel)) if keep]
         self.events.emit("grid", tiles=len(tiles), bounds=list(bounds))
         fingerprint = grid_fingerprint(bounds, c.tile_size_meters,
                                        c.tile_overlap, len(tiles))

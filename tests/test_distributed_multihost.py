@@ -1,14 +1,20 @@
-"""Multi-host (DCN) integration: two real jax.distributed processes.
+"""Multi-host (DCN) integration: two real jax.distributed processes running
+the REAL pipeline.
 
 Closes SURVEY.md §2.3's distributed-comms row at the level this environment
 allows (no second host): two OS processes join one jax.distributed job over
-a local coordinator, each scans only its host_stripe of the AOI (fetch-plane
-sharding — the reference's closest analogue is per-server HTTP round-robin,
-simple_detector.py:176-179), they exchange counts with a cross-process
-allgather, and the merged detection set must equal a single-process scan.
+a local coordinator, and each runs an actual CarDetector scan — fetch from
+a shared fake tile server, batched jitted inference with the committed
+trained v7-tiny fixture, device NMS, georeferencing — over its stripe of
+the deterministic GLOBAL tile grid (tile_filter hook = fetch-plane
+sharding; the reference's closest analogue is per-server HTTP round-robin,
+simple_detector.py:176-179). Counts cross a process_allgather, and the
+merged detection set must equal a single-process scan of the full AOI
+EXACTLY (same grid ⇒ bitwise-identical per-tile results).
 """
 
 import json
+import math
 import os
 import socket
 import subprocess
@@ -19,7 +25,14 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
-BOUNDS = (20.99, 52.19, 21.01, 52.21)
+FIXTURE = os.path.join(REPO, "tests", "fixtures",
+                       "yolov7_tiny_fakeworld.npz")
+
+# The world the committed fixture was trained on (test_detection_quality)
+WORLD_KW = dict(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                n_cars=400, seed=4)
+M2LON = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+M2LAT = 1.0 / 111319.9
 
 
 def _free_port() -> int:
@@ -30,58 +43,120 @@ def _free_port() -> int:
     return port
 
 
+def _write_frame(path):
+    from aerial_image_recognition_tpu.gio.geojson import write_geojson
+    half_lon, half_lat = 120 * M2LON, 80 * M2LAT
+    ring = [[21.0 - half_lon, 52.2 - half_lat],
+            [21.0 + half_lon, 52.2 - half_lat],
+            [21.0 + half_lon, 52.2 + half_lat],
+            [21.0 - half_lon, 52.2 + half_lat],
+            [21.0 - half_lon, 52.2 - half_lat]]
+    write_geojson({"type": "FeatureCollection", "features": [{
+        "type": "Feature", "properties": {},
+        "geometry": {"type": "Polygon", "coordinates": [ring]}}]}, path)
+
+
 @pytest.mark.slow
-def test_two_process_scan_merges_to_single_process_result(tmp_path):
-    coord = f"127.0.0.1:{_free_port()}"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    outs = [str(tmp_path / f"host{i}.json") for i in range(2)]
-    procs = [subprocess.Popen(
-        [sys.executable, WORKER, coord, str(i), "2", outs[i]],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
-    logs = []
-    try:
-        for p in procs:
-            stdout, _ = p.communicate(timeout=300)
-            logs.append(stdout.decode(errors="replace"))
-        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="trained fixture not present")
+def test_two_process_real_scan_merges_to_single_process_result(tmp_path):
+    import jax
+    import jax.numpy as jnp
 
-    results = [json.load(open(o)) for o in outs]
-    assert {r["process_index"] for r in results} == {0, 1}
-    assert all(r["process_count"] == 2 for r in results)
-    # the distributed job aggregates devices across both processes
-    assert all(r["global_devices"] >= 2 for r in results)
-    # allgather delivered both counts to both processes
-    counts = [len(r["records"]) for r in sorted(results,
-                                                key=lambda r: r["process_index"])]
-    assert all(r["counts_allgather"] == counts for r in results)
-
-    # halo overlap ⇒ border cars are detected by BOTH hosts
-    all_recs = [rec for r in results for rec in r["records"]]
-    assert len(all_recs) > max(counts), "expected cross-border duplicates"
-
-    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    from aerial_image_recognition_tpu.fetch.fake import (
+        FakeTileServer, FakeWorld)
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    from aerial_image_recognition_tpu.gio.geojson import (
+        feature_collection_to_detections, read_geojson)
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
     from aerial_image_recognition_tpu.parallel.distributed import (
         merge_host_detections)
-
-    merged = merge_host_detections(all_recs, radius_m=1.0)
-
-    # single-process reference scan over the whole AOI
-    world = FakeWorld(n_cars=300)
-    single = [{"lon": float(lon), "lat": float(lat),
-               "confidence": 0.5 + (i % 50) / 100.0}
-              for i, (lon, lat, _hd) in enumerate(world.cars)
-              if BOUNDS[0] <= lon <= BOUNDS[2]
-              and BOUNDS[1] <= lat <= BOUNDS[3]]
+    from aerial_image_recognition_tpu.pipeline.detector import CarDetector
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        DetectStep, make_detect_fn)
     from aerial_image_recognition_tpu.post.dedup import dedup_records
-    single = dedup_records(single, radius_m=1.0)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 
-    got = sorted((round(r["lon"], 9), round(r["lat"], 9)) for r in merged)
-    want = sorted((round(r["lon"], 9), round(r["lat"], 9)) for r in single)
-    assert got == want
+    frame = str(tmp_path / "aoi.geojson")
+    _write_frame(frame)
+    srv = FakeTileServer(FakeWorld(**WORLD_KW))
+    srv.start()
+    try:
+        coord = f"127.0.0.1:{_free_port()}"
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        outs = [str(tmp_path / f"host{i}.json") for i in range(2)]
+        procs = [subprocess.Popen(
+            [sys.executable, WORKER, coord, str(i), "2", outs[i],
+             srv.base_url, frame],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        try:
+            for p in procs:
+                stdout, _ = p.communicate(timeout=600)
+                logs.append(stdout.decode(errors="replace"))
+            assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+
+        results = [json.load(open(o)) for o in outs]
+        assert {r["process_index"] for r in results} == {0, 1}
+        assert all(r["process_count"] == 2 for r in results)
+        # the distributed job aggregates devices across both processes
+        assert all(r["global_devices"] >= 2 for r in results)
+        # allgather delivered both counts to both processes
+        counts = [len(r["records"]) for r in
+                  sorted(results, key=lambda r: r["process_index"])]
+        assert all(r["counts_allgather"] == counts for r in results)
+        assert all(c > 0 for c in counts), "a stripe scan found nothing"
+        assert all(r["tiles_scanned"] > 0 for r in results)
+
+        # single-process reference: the SAME pipeline over the full grid
+        cfg = DetectorConfig(confidence_threshold=0.4,
+                             nms_iou_threshold=0.45,
+                             duplicate_distance=0.0)
+        bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+        bundle.params = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32), load_params(FIXTURE))
+        fn = jax.jit(make_detect_fn(bundle, cfg, model_size=96))
+        step = DetectStep(bundle=bundle, fn=fn, batch=16, input_size=96,
+                          model_size=96)
+        fetcher = WMSFetcher(srv.base_url + "/wms", layer="fake",
+                             size=(96, 96), num_workers=8,
+                             submit_spacing=0.0)
+        det = CarDetector(str(tmp_path / "single"), {
+            "frame_path": frame,
+            "tile_size_meters": 48.0,
+            "tile_overlap": 0.25,
+            "confidence_threshold": 0.4,
+            "duplicate_distance": 0.0,
+            "batch_size": 32, "device_batch": 16,
+            "checkpoint_interval": 10**9,
+        }, fetcher=fetcher, detect_step=step)
+        summary = det.detect(interactive=False, force_restart=True)
+        single_raw = feature_collection_to_detections(
+            read_geojson(summary["output"]))
+
+        # stripes partition the global grid: per-tile results are bitwise
+        # identical, so the raw multisets already match...
+        all_recs = [rec for r in results for rec in r["records"]]
+        assert len(all_recs) == len(single_raw)
+        # ...and the global dedup of the merged set equals the
+        # single-process dedup exactly
+        merged = merge_host_detections(all_recs, radius_m=1.0)
+        single = dedup_records(single_raw, radius_m=1.0)
+        got = sorted((round(r["lon"], 9), round(r["lat"], 9),
+                      round(r["confidence"], 6)) for r in merged)
+        want = sorted((round(r["lon"], 9), round(r["lat"], 9),
+                       round(r["confidence"], 6)) for r in single)
+        assert got == want
+        # overlapping global grid ⇒ the same car near the stripe boundary
+        # is seen by both hosts; the merge must actually have deduped
+        assert len(merged) < len(all_recs)
+    finally:
+        srv.stop()
