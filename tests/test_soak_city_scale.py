@@ -62,8 +62,15 @@ def _records(base, prefix="detections"):
                    round(f["geometry"]["coordinates"][1], 9)) for f in pts)
 
 
+# final detection sets per variant, compared across parametrizations: the
+# DP-mesh soak must produce the byte-identical set the single-device soak
+# does (VERDICT r2 item 8 — the two flagship features composed)
+_FINAL_SETS = {}
+
+
 @pytest.mark.slow
-def test_soak_interrupt_resume_identical(tmp_path):
+@pytest.mark.parametrize("variant", ["single", "dp8"])
+def test_soak_interrupt_resume_identical(tmp_path, variant):
     world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.016,
                       n_cars=3000, seed=11)
     srv = FakeTileServer(world, faults=FaultConfig(
@@ -84,9 +91,21 @@ def test_soak_interrupt_resume_identical(tmp_path):
         bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
         bundle.params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.float32), load_params(FIXTURE))
-        fn = jax.jit(make_detect_fn(bundle, cfg, model_size=96))
-        step = DetectStep(bundle=bundle, fn=fn, batch=64, input_size=96,
-                          model_size=96)
+        if variant == "dp8":
+            # the production data-parallel path: the whole fused program
+            # (incl. quad-stem layout + NMS) shard_mapped over the 8-CPU
+            # mesh; exercises the padded ragged-tail batches under a mesh
+            # at 10k-tile scale
+            from aerial_image_recognition_tpu.parallel.mesh import make_mesh
+            from aerial_image_recognition_tpu.pipeline.inference import (
+                build_detect_step)
+            step = build_detect_step(cfg, batch=64, bundle=bundle,
+                                     src_size=96, model_size=96,
+                                     mesh=make_mesh(8))
+        else:
+            fn = jax.jit(make_detect_fn(bundle, cfg, model_size=96))
+            step = DetectStep(bundle=bundle, fn=fn, batch=64, input_size=96,
+                              model_size=96)
 
         # --- run A: uninterrupted
         base_a = _make_base(tmp_path, "a")
@@ -131,5 +150,12 @@ def test_soak_interrupt_resume_identical(tmp_path):
         # (c) faults absorbed: the server injected 500s/429s but every tile
         # was eventually fetched (no failed tiles recorded in run A)
         assert out_a["detections"] == len(ra)
+
+        # (d) cross-variant: the DP-mesh soak's final set is byte-identical
+        # to the single-device soak's (same world, grid, weights)
+        _FINAL_SETS[variant] = ra
+        if len(_FINAL_SETS) == 2:
+            assert _FINAL_SETS["single"] == _FINAL_SETS["dp8"], (
+                "data-parallel soak diverged from single-device soak")
     finally:
         srv.stop()
