@@ -25,14 +25,23 @@ from aerial_image_recognition_tpu.geo.webmercator import tile_bounds
 
 @dataclass
 class FakeWorld:
-    """Deterministic synthetic ground truth: cars at known lon/lat."""
+    """Deterministic synthetic ground truth: cars (and, opt-in, buildings)
+    at known lon/lat.
+
+    n_buildings defaults to 0 so detection worlds are unchanged; the
+    segmentation workflow (XUnet / automask — the reference's
+    ramp_XUnet_256.onnx slot) enables them to get pixel-exact ground-truth
+    footprint masks via render_mask()."""
     center_lon: float = 21.0
     center_lat: float = 52.2
     extent_deg: float = 0.02
     n_cars: int = 200
     seed: int = 7
     car_size_m: Tuple[float, float] = (4.5, 2.0)
-    cars: np.ndarray = field(init=False)     # [N, 3]: lon, lat, heading
+    n_buildings: int = 0
+    building_size_m: Tuple[float, float] = (22.0, 14.0)
+    cars: np.ndarray = field(init=False)      # [N, 3]: lon, lat, heading
+    buildings: np.ndarray = field(init=False)  # [M, 4]: lon, lat, len_m, wid_m
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -40,6 +49,50 @@ class FakeWorld:
         lat = self.center_lat + (rng.random(self.n_cars) - 0.5) * self.extent_deg
         heading = rng.random(self.n_cars) * math.pi
         self.cars = np.stack([lon, lat, heading], axis=1)
+        brng = np.random.default_rng(self.seed + 1000)
+        blon = self.center_lon + (brng.random(self.n_buildings) - 0.5) * self.extent_deg
+        blat = self.center_lat + (brng.random(self.n_buildings) - 0.5) * self.extent_deg
+        L, W = self.building_size_m
+        blen = L * (0.6 + 0.8 * brng.random(self.n_buildings))
+        bwid = W * (0.6 + 0.8 * brng.random(self.n_buildings))
+        self.buildings = np.stack([blon, blat, blen, bwid], axis=1)
+
+    def _building_px(self, bbox, width: int, height: int):
+        """Per-building integer pixel rects (x1,x2,y1,y2) within a bbox
+        render — the single geometry used by BOTH render() and
+        render_mask(), so image and mask are pixel-consistent."""
+        west, south, east, north = bbox
+        m2lon = 1.0 / (111319.9 * math.cos(math.radians((south + north) / 2)))
+        m2lat = 1.0 / 111319.9
+        ppd_x = width / (east - west)
+        ppd_y = height / (north - south)
+        b = self.buildings
+        if not len(b):
+            return []
+        margin = 3e-4        # buildings are big; keep partial overlaps
+        near = ((b[:, 0] >= west - margin) & (b[:, 0] <= east + margin)
+                & (b[:, 1] >= south - margin) & (b[:, 1] <= north + margin))
+        rects = []
+        for lon, lat, blen, bwid in b[near]:
+            dx = blen / 2 * m2lon
+            dy = bwid / 2 * m2lat
+            x1 = int((lon - dx - west) * ppd_x)
+            x2 = int((lon + dx - west) * ppd_x)
+            y1 = int((north - (lat + dy)) * ppd_y)
+            y2 = int((north - (lat - dy)) * ppd_y)
+            x1, x2 = max(x1, 0), min(x2, width)
+            y1, y2 = max(y1, 0), min(y2, height)
+            if x2 > x1 and y2 > y1:
+                rects.append((x1, x2, y1, y2))
+        return rects
+
+    def render_mask(self, bbox, width: int, height: int) -> np.ndarray:
+        """Ground-truth building-footprint mask for a bbox → uint8 [H, W]
+        (1 = building). Pixel-aligned with render()."""
+        mask = np.zeros((height, width), np.uint8)
+        for x1, x2, y1, y2 in self._building_px(bbox, width, height):
+            mask[y1:y2, x1:x2] = 1
+        return mask
 
     def render(self, bbox, width: int, height: int) -> np.ndarray:
         """Render (west, south, east, north) → uint8 [H, W, 3].
@@ -56,6 +109,13 @@ class FakeWorld:
         t = (np.sin(lon_g * 201000.0) * np.cos(lat_g * 173000.0) * 0.5 + 0.5)
         img = (90 + 40 * t).astype(np.uint8)
         img = np.stack([img, img, img + 8], axis=-1).astype(np.uint8)
+
+        # buildings first (under the cars): matte "roofs" with a rim so
+        # the segmentation task has real edges to learn
+        for x1, x2, y1, y2 in self._building_px(bbox, width, height):
+            img[y1:y2, x1:x2] = (168, 130, 118)
+            img[y1:min(y1 + 1, y2), x1:x2] = (200, 160, 148)
+            img[y1:y2, x1:min(x1 + 1, x2)] = (200, 160, 148)
 
         m2lon = 1.0 / (111319.9 * math.cos(math.radians((south + north) / 2)))
         m2lat = 1.0 / 111319.9
