@@ -50,6 +50,15 @@ def main() -> int:
                      process_id=pid)
     assert ctx.process_count == nproc, ctx
 
+    # Establish the cross-process collective transport NOW, while every
+    # worker is at the same point: the scans below can finish minutes
+    # apart (cold jit cache, CPU contention), and Gloo's pair CONNECT
+    # times out if the first-ever collective is attempted with that skew.
+    # After this barrier the post-scan allgather only waits on recv,
+    # which has no connect deadline.
+    from jax.experimental import multihost_utils
+    multihost_utils.process_allgather(np.zeros(1, np.int32))
+
     # AOI bounds come from the shared frame; the GLOBAL tile grid is a pure
     # function of them, so every process derives the identical grid and
     # scans a disjoint stripe of it (fetch-plane sharding).
@@ -99,7 +108,6 @@ def main() -> int:
 
     # Cross-process collective over the distributed runtime: every process
     # must see every other process's count.
-    from jax.experimental import multihost_utils
     counts = np.asarray(multihost_utils.process_allgather(
         np.asarray([len(recs)], np.int32)))
 

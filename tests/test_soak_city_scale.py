@@ -86,6 +86,11 @@ def test_soak_interrupt_resume_identical(tmp_path, variant):
             device_batch=64, batch_size=128, num_workers=24,
             checkpoint_interval=2000, dtype="float32",
             submit_spacing=0.0,     # politeness knob is for public servers
+            # same lowering for both variants: the quad stem folds BN into
+            # the conv weights (float-rounding-different from BN-as-affine),
+            # which would break the cross-variant byte-identity this test
+            # pins; quad-stem parity has its own tests (test_quadstem)
+            quad_stem=False,
         )
         cfg = DetectorConfig().merged(overrides)
         bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
