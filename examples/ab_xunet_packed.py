@@ -28,7 +28,8 @@ def main():
         host_s2d, xunet_forward_packed)
     from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
 
-    B = 256
+    import os
+    B = int(os.environ.get("AB_BATCH", "256"))
     bundle = create_model("xunet_256", dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     xu8 = [rng.integers(0, 255, (B, 256, 256, 3), dtype=np.uint8)
@@ -47,20 +48,28 @@ def main():
             xunet_forward_packed(variables, xq, dtype=jnp.bfloat16))
 
     # parity spot-check on device (bf16: loose)
+    print("compiling standard...", flush=True)
+    t0 = time.perf_counter()
     a = np.asarray(fwd_std(bundle.params, x_std[0]))
+    print(f"standard compiled in {time.perf_counter()-t0:.1f}s", flush=True)
     from aerial_image_recognition_tpu.ops.packed_unet import s2d_unpack
+    print("compiling packed...", flush=True)
+    t0 = time.perf_counter()
     b = np.asarray(s2d_unpack(fwd_pak(bundle.params, x_pak[0])))
+    print(f"packed compiled in {time.perf_counter()-t0:.1f}s", flush=True)
     print("parity max-abs-diff:", float(np.abs(a - b).max()))
 
     def bench(fn, xs, iters=8):
+        # scalar readback ONLY (tunnel rule: block_until_ready returns
+        # early AND a full [B,256,256,1] pull would swamp the timing)
         out = fn(bundle.params, xs[0])
-        float(np.asarray(out).sum())                 # settle
+        float(out.sum())                             # settle
         best = 1e9
         for _ in range(4):
             t0 = time.perf_counter()
             for i in range(iters):
                 out = fn(bundle.params, xs[i % 2])
-            assert np.isfinite(float(np.asarray(out).sum()))
+            assert np.isfinite(float(out.sum()))
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
@@ -69,7 +78,7 @@ def main():
         t_std = bench(fwd_std, x_std)
         t_pak = bench(fwd_pak, x_pak)
         rounds.append((t_std, t_pak))
-        print(f"round {r}: std {t_std*1e3:.2f} ms  packed {t_pak*1e3:.2f} ms")
+        print(f"round {r}: std {t_std*1e3:.2f} ms  packed {t_pak*1e3:.2f} ms", flush=True)
     t_std = min(t for t, _ in rounds)
     t_pak = min(t for _, t in rounds)
     print(json.dumps({
