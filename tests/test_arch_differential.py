@@ -86,6 +86,94 @@ def test_yolov8_differential(scale):
     _assert_levels_match(flax_outs, torch_outs, tol=2e-4)
 
 
+def test_yolov7_decode_differential():
+    """ops.decode.decode_yolov7 vs an independent transcription of the
+    upstream (I)Detect inference decode: y = σ(x); xy = (2y−0.5+grid)·s;
+    wh = (2y)²·anchor — the math the reference's ONNX graph bakes in
+    before its [1,N,5+nc] output (SURVEY §3.3)."""
+    import torch
+
+    from aerial_image_recognition_tpu.models.yolov7 import ANCHORS_TINY
+    from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+
+    nc = 3          # multi-class so the obj·cls score path is exercised
+    rng = np.random.default_rng(5)
+    outs = []
+    for s, (h, w) in zip((8, 16, 32), ((8, 8), (4, 4), (2, 2))):
+        outs.append(rng.normal(0, 2, (2, h, w, 3 * (5 + nc))).astype(
+            np.float32))
+
+    boxes, scores = decode_yolov7([jnp.asarray(o) for o in outs],
+                                  ANCHORS_TINY, nc)
+
+    ref_boxes, ref_scores = [], []
+    with torch.no_grad():
+        for o, anc, s in zip(outs, ANCHORS_TINY, (8, 16, 32)):
+            b, h, w, _ = o.shape
+            y = torch.sigmoid(torch.from_numpy(o).reshape(
+                b, h, w, 3, 5 + nc))
+            gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                    indexing="ij")
+            grid = torch.stack([gx, gy], -1).float()[None, :, :, None, :]
+            a = torch.tensor(anc, dtype=torch.float32)[
+                None, None, None, :, :]
+            xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * s
+            wh = (y[..., 2:4] * 2.0) ** 2 * a
+            ref_boxes.append(torch.cat([xy, wh], -1).reshape(b, -1, 4))
+            ref_scores.append((y[..., 4:5] * y[..., 5:]).reshape(b, -1, nc))
+    rb = np.concatenate([t.numpy() for t in ref_boxes], 1)
+    rs = np.concatenate([t.numpy() for t in ref_scores], 1)
+    np.testing.assert_allclose(np.asarray(boxes), rb, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores), rs, rtol=1e-5, atol=1e-6)
+
+
+def test_yolov8_decode_differential():
+    """ops.decode.decode_yolov8 vs an independent transcription of the
+    ultralytics DFL decode (softmax-expectation over reg_max bins →
+    dist2bbox from cell centers, σ(cls) scores)."""
+    import torch
+    import torch.nn.functional as F
+
+    from aerial_image_recognition_tpu.ops.decode import decode_yolov8
+
+    nc, reg_max = 2, 16
+    rng = np.random.default_rng(6)
+    outs = []
+    for h, w in ((8, 8), (4, 4), (2, 2)):
+        outs.append(rng.normal(0, 2, (2, h, w, 4 * reg_max + nc)).astype(
+            np.float32))
+
+    boxes, scores = decode_yolov8([jnp.asarray(o) for o in outs], nc)
+
+    rb_all, rs_all = [], []
+    with torch.no_grad():
+        for o, s in zip(outs, (8, 16, 32)):
+            b, h, w, _ = o.shape
+            t = torch.from_numpy(o)
+            dist = F.softmax(t[..., :4 * reg_max].reshape(
+                b, h, w, 4, reg_max), dim=-1) @ torch.arange(
+                    reg_max, dtype=torch.float32)
+            gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                    indexing="ij")
+            cx = gx.float()[None] + 0.5
+            cy = gy.float()[None] + 0.5
+            x1 = cx - dist[..., 0]
+            y1 = cy - dist[..., 1]
+            x2 = cx + dist[..., 2]
+            y2 = cy + dist[..., 3]
+            bx = torch.stack([(x1 + x2) / 2, (y1 + y2) / 2,
+                              x2 - x1, y2 - y1], -1) * s
+            rb_all.append(bx.reshape(b, -1, 4).numpy())
+            rs_all.append(torch.sigmoid(
+                t[..., 4 * reg_max:]).reshape(b, -1, nc).numpy())
+    np.testing.assert_allclose(np.asarray(boxes),
+                               np.concatenate(rb_all, 1),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.concatenate(rs_all, 1),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_v8_spec_channels_match_flax_shapes():
     """The spec's independent channel arithmetic (ultralytics
     make_divisible/min(max_channels)) must agree with models/yolov8._r for
