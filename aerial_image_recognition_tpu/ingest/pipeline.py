@@ -61,9 +61,14 @@ def assemble_batches(tiles: Iterable[Tuple[int, Optional[TileImage]]],
             continue
         px = tile.pixels
         if px.shape[0] != src_size or px.shape[1] != src_size:
-            raise ValueError(
-                f"tile {index}: got {px.shape[:2]}, expected {src_size}² — "
-                "fetchers must emit fixed-size windows (window_px/wms_size)")
+            # tolerate ragged tiles the way the reference did — resize to
+            # the expected window (gpu_handler.py:74-76 resized whatever
+            # arrived). Misconfigured fetchers emitting a consistent wrong
+            # size still surface immediately in coverage/throughput, but a
+            # stray odd-sized edge tile no longer kills a city scan.
+            from PIL import Image
+            px = np.asarray(Image.fromarray(px).resize(
+                (src_size, src_size), Image.BILINEAR))
         if layout == "s2d2":
             host_s2d2_into(px, imgs[fill])   # one strided copy, no temp
         else:

@@ -41,11 +41,15 @@ def test_assemble_batches_records_failures():
     assert valid_total == 6
 
 
-def test_assemble_batches_rejects_wrong_size():
-    gen = iter([(0, TileImage(np.zeros((16, 16, 3), np.uint8),
-                              (0, 0, 1, 1)))])
-    with pytest.raises(ValueError, match="expected 32"):
-        list(assemble_batches(gen, batch_size=2, src_size=32))
+def test_assemble_batches_resizes_wrong_size():
+    # reference behavior (gpu_handler.py:74-76): ragged tiles are resized
+    # to the expected window, not fatal (round-3 parity fix; was a raise)
+    px = np.full((16, 16, 3), 200, np.uint8)
+    gen = iter([(0, TileImage(px, (0, 0, 1, 1)))])
+    batches = list(assemble_batches(gen, batch_size=2, src_size=32))
+    assert batches[0].n_valid == 1
+    assert batches[0].images.shape[1:3] == (32, 32)
+    assert batches[0].images[0].mean() > 150
 
 
 def test_threaded_prefetcher_order_and_errors():
