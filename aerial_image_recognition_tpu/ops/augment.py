@@ -12,8 +12,9 @@ here variations are generated on device and stacked into the batch dimension
 TPU-native formulation (bigger batches, zero extra host↔device traffic).
 
 CLAHE: the ``clahe_*`` variations run the EXACT tile-histogram algorithm on
-device (ops/clahe.clahe_rgb_device — segment-sum histograms, vectorized
-clip/redistribute/CDF, gather-interpolated LUTs; cv2-parity). The
+device (ops/clahe.clahe_rgb_device — compare-and-reduce histograms, vectorized
+clip/redistribute/CDF, blocked bit-split LUT application on the MXU; cv2-parity
+and TPU-wide ops throughout — see the round-3 note in ops/clahe.py). The
 differentiable local-contrast approximant remains available as
 ``localcontrast_*`` for training-time augmentation.
 """

@@ -119,12 +119,21 @@ def clahe_rgb(img: np.ndarray, clip_limit: float = 2.0,
 
 # ------------------------------------------------------------ device (jnp)
 #
-# Exact tile-histogram CLAHE on device: histograms via one segment-sum,
-# clip/redistribute/CDF vectorized over all tiles, per-pixel bilinear
-# interpolation of the four surrounding tiles' LUTs via gathers. Matches
-# clahe_gray/clahe_rgb above (and therefore cv2's algorithm) — closes the
-# round-1 gap where the device TTA path only had the local-contrast
-# approximant (VERDICT item 7).
+# Exact tile-histogram CLAHE on device, reformulated for TPU (round 3):
+# XLA lowers both scatter (segment_sum histograms) and per-pixel gather
+# (LUT lookups) to serialized scalar memory ops on TPU — measured at
+# 2.8 s/batch-128, which collapsed the whole TTA ladder to 14 tiles/s.
+# The rewrite keeps the algorithm bit-identical to clahe_gray above (and
+# therefore to cv2) but uses only ops the TPU runs wide:
+#   * histograms: compare-and-reduce (tiles[...,None] == bins).sum() —
+#     a fused vectorized reduction, no scatter (27 ms)
+#   * LUT application: the image splits into half-tile blocks whose four
+#     contributing tiles are *static*, so the per-block corner LUTs come
+#     from repeat/pad/slice (zero gathers), and the 256-entry lookup is
+#     decomposed by value bits: hi 5 bits via a one-hot ×LUT matmul on
+#     the MXU, lo 3 bits via a fused eq+select reduction (39 ms,
+#     bit-exact vs the gather formulation; was 2820 ms)
+# A/B numbers: BASELINE.md round-3 TTA section.
 
 
 def clahe_gray_device(l8, clip_limit: float = 2.0,
@@ -142,14 +151,14 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
     pad_h, pad_w = th * gh - h, tw * gw - w
     padded = jnp.pad(l8, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
 
-    # per-tile histograms: one segment-sum over all pixels
-    ys = jnp.arange(th * gh)[:, None] // th          # tile row per pixel row
-    xs = jnp.arange(tw * gw)[None, :] // tw
-    bi = jnp.arange(b)[:, None, None]
-    seg = (((bi * gh + ys[None]) * gw + xs[None]) * 256 + padded).reshape(-1)
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(seg, jnp.int32), seg,
-        num_segments=b * gh * gw * 256).reshape(b, gh, gw, 256)
+    # per-tile histograms: compare-and-reduce, NOT segment_sum — scatter
+    # lowers to serialized per-element updates on TPU and was measured to
+    # dominate the whole TTA step (round 3); an eq+sum over the tile's
+    # pixels fuses into a vectorized reduction with no scatter at all
+    tiles = padded.reshape(b, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
+    tiles = tiles.reshape(b, gh, gw, th * tw)
+    bins = jnp.arange(256, dtype=padded.dtype)
+    hist = (tiles[..., None] == bins).astype(jnp.int32).sum(3)
 
     n_px = th * tw
     clip = max(1, int(clip_limit * n_px / 256.0))
@@ -166,7 +175,29 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
         (cdf - cdf_min).astype(jnp.float32) * 255.0
         / denom.astype(jnp.float32)), 0, 255)        # f32 [B,gh,gw,256]
 
-    # bilinear interpolation between the 4 surrounding tiles' LUTs
+    if h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
+        out = _apply_luts_blocked(luts, l8, gh, gw, th, tw)
+    else:
+        out = _apply_luts_gather(luts, l8, gh, gw, th, tw)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+
+
+def _interp_weights_1d(n_img: int, tile: int, g: int):
+    """Fractional bilinear weight toward the i1 (next) tile per pixel."""
+    import jax.numpy as jnp
+
+    f = (jnp.arange(n_img, dtype=jnp.float32) + 0.5) / tile - 0.5
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, g - 1)
+    return jnp.clip(f - i0, 0.0, 1.0)
+
+
+def _apply_luts_gather(luts, l8, gh, gw, th, tw):
+    """Per-pixel gather of the 4 surrounding tiles' LUTs (general shapes;
+    slow on TPU — the blocked path below is used whenever it applies)."""
+    import jax.numpy as jnp
+
+    b, h, w = l8.shape
+    bi = jnp.arange(b)[:, None, None]
     fy = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / th - 0.5
     fx = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / tw - 0.5
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, gh - 1)
@@ -183,9 +214,88 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
     p01 = luts[bi, y0b[None], x1b[None], v]
     p10 = luts[bi, y1b[None], x0b[None], v]
     p11 = luts[bi, y1b[None], x1b[None], v]
-    out = ((1 - wy) * ((1 - wx) * p00 + wx * p01)
-           + wy * ((1 - wx) * p10 + wx * p11))
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+    return ((1 - wy) * ((1 - wx) * p00 + wx * p01)
+            + wy * ((1 - wx) * p10 + wx * p11))
+
+
+def _corner_tables(luts, gh, gw):
+    """[B,gh,gw,256] → [B,2gh,2gw,4,256]: for every half-tile block, the
+    LUTs of its four bilinear corner tiles (y0x0, y0x1, y1x0, y1x1).
+
+    Pixels inside one half-tile block all share the same corner tiles,
+    and the block→tile maps (qy-1)//2 and (qy+1)//2 (clamped) are static
+    repeat/shift patterns — so the tables are built from repeat + edge-pad
+    + slice with no gather at all."""
+    import jax.numpy as jnp
+
+    r = jnp.repeat(luts, 2, axis=1)                      # qy → qy//2
+    ly0 = jnp.pad(r, ((0, 0), (1, 0), (0, 0), (0, 0)), mode="edge")[:, :2 * gh]
+    ly1 = jnp.pad(r, ((0, 0), (0, 1), (0, 0), (0, 0)), mode="edge")[:, 1:]
+
+    def xdir(t):
+        r2 = jnp.repeat(t, 2, axis=2)
+        x0 = jnp.pad(r2, ((0, 0), (0, 0), (1, 0), (0, 0)), mode="edge")[:, :, :2 * gw]
+        x1 = jnp.pad(r2, ((0, 0), (0, 0), (0, 1), (0, 0)), mode="edge")[:, :, 1:]
+        return x0, x1
+
+    l00, l01 = xdir(ly0)
+    l10, l11 = xdir(ly1)
+    return jnp.stack([l00, l01, l10, l11], axis=3)
+
+
+def _apply_luts_blocked(luts, l8, gh, gw, th, tw):
+    """TPU-fast LUT application: half-tile blocks × bit-split lookup.
+
+    For each block the 4 corner LUTs [4,256] are reshaped to [4,32,8];
+    the hi 5 bits of each pixel select a [4,8] row via a one-hot matmul
+    (MXU), the lo 3 bits select within it via a fused eq+multiply
+    reduction (VPU), and the 4 corner values blend with the standard
+    bilinear weights in exactly clahe_gray's nesting order — bit-exact
+    with _apply_luts_gather, measured 72× faster at batch 128 (39 vs
+    2820 ms, BASELINE.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    b, h, w = l8.shape
+    bh, bw = th // 2, tw // 2
+    qh, qw = 2 * gh, 2 * gw
+    L4 = _corner_tables(luts, gh, gw)                    # [B,qh,qw,4,256]
+    vb = l8.reshape(b, qh, bh, qw, bw).transpose(0, 1, 3, 2, 4)
+    vb = vb.reshape(b, qh, qw, bh * bw)
+
+    wy = _interp_weights_1d(h, th, gh).reshape(qh, bh)
+    wx = _interp_weights_1d(w, tw, gw).reshape(qw, bw)
+    wyf = jnp.broadcast_to(wy[:, None, :, None], (qh, qw, bh, bw))
+    wxf = jnp.broadcast_to(wx[None, :, None, :], (qh, qw, bh, bw))
+    wyf = wyf.reshape(qh, qw, bh * bw)
+    wxf = wxf.reshape(qh, qw, bh * bw)
+
+    def chunk(args):
+        L4c, vc = args                                   # [C,qh,qw,4,256] / [C,qh,qw,P]
+        c = L4c.shape[0]
+        L2 = L4c.reshape(c, qh, qw, 4, 32, 8).astype(jnp.bfloat16)
+        hi = vc >> 3
+        lo = vc & 7
+        hi_oh = (hi[..., None] == jnp.arange(32)).astype(jnp.bfloat16)
+        L4m = L2.transpose(0, 1, 2, 4, 3, 5).reshape(c, qh, qw, 32, 32)
+        tmp = jax.lax.dot_general(                       # [C,qh,qw,P,32]
+            hi_oh, L4m,
+            (((4,), (3,)), ((0, 1, 2), (0, 1, 2))),
+            preferred_element_type=jnp.bfloat16)         # values ≤255: exact
+        tmp = tmp.reshape(c, qh, qw, bh * bw, 4, 8).astype(jnp.float32)
+        lo_oh = (lo[..., None] == jnp.arange(8)).astype(jnp.float32)
+        p = (tmp * lo_oh[..., None, :]).sum(5)           # [C,qh,qw,P,4]
+        return ((1 - wyf) * ((1 - wxf) * p[..., 0] + wxf * p[..., 1])
+                + wyf * ((1 - wxf) * p[..., 2] + wxf * p[..., 3]))
+
+    cs = min(b, 32)                # bound the matmul intermediate (~1.6 GB)
+    while b % cs:
+        cs -= 1
+    L4c = L4.reshape(b // cs, cs, qh, qw, 4, 256)
+    vbc = vb.reshape(b // cs, cs, qh, qw, bh * bw)
+    out = jax.lax.map(chunk, (L4c, vbc))
+    out = out.reshape(b, qh, qw, bh, bw).transpose(0, 1, 3, 2, 4)
+    return out.reshape(b, h, w)
 
 
 def clahe_rgb_device(x, clip_limit: float = 2.0,
