@@ -142,7 +142,14 @@ class DetectionServer:
                 self._reply(200, {"detections": p.result,
                                   "count": len(p.result)})
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            # socketserver's default listen backlog is 5; a burst of
+            # concurrent clients (the reference's 25-32 fetch workers all
+            # turning around at once) overflows the accept queue and the
+            # kernel RSTs the excess connections
+            request_queue_size = 128
+
+        self._httpd = _Server((host, port), Handler)
         self.port = self._httpd.server_address[1]
         self._serve_thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True, name="serve-http")
