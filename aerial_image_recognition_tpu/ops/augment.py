@@ -104,7 +104,13 @@ def expand_tta(x: jnp.ndarray,
                variations: Sequence[Tuple[str, float]] = DEFAULT_VARIATIONS
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B,H,W,3] float → ([B·V,H,W,3], weights [V]); variation-major order
-    (x_v = out[v·B:(v+1)·B])."""
+    (x_v = out[v·B:(v+1)·B]).
+
+    The ``clahe_*`` variations are deliberately NOT hand-folded into one
+    multi-clip pass: XLA CSE already shares their identical histogram /
+    LAB / one-hot subexpressions across the per-variation calls, and the
+    explicit V-folded lowering (ops/clahe.clahe_rgb_device_multi) measured
+    118 → 182 ms/batch-128 SLOWER on chip (BASELINE.md round 3)."""
     outs = [apply_variation(x, name) for name, _ in variations]
     w = jnp.asarray([wt for _, wt in variations], dtype=x.dtype)
     return jnp.concatenate(outs, axis=0), w

@@ -136,13 +136,13 @@ def clahe_rgb(img: np.ndarray, clip_limit: float = 2.0,
 # A/B numbers: BASELINE.md round-3 TTA section.
 
 
-def clahe_gray_device(l8, clip_limit: float = 2.0,
-                      grid: Tuple[int, int] = (8, 8)):
-    """int32 [B, H, W] values 0..255 → int32 [B, H, W], batched jnp CLAHE.
+def _tile_histograms(l8, grid):
+    """int32 [B,H,W] → (hist [B,gh,gw,256] int32, (th, tw)).
 
-    Bit-faithful port of clahe_gray (same padding, clip/redistribution,
-    CDF normalization, and LUT interpolation semantics)."""
-    import jax
+    Per-tile histograms by compare-and-reduce, NOT segment_sum — scatter
+    lowers to serialized per-element updates on TPU and was measured to
+    dominate the whole TTA step (round 3); an eq+sum over the tile's
+    pixels fuses into a vectorized reduction with no scatter at all."""
     import jax.numpy as jnp
 
     b, h, w = l8.shape
@@ -150,17 +150,18 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
     th, tw = -(-h // gh), -(-w // gw)
     pad_h, pad_w = th * gh - h, tw * gw - w
     padded = jnp.pad(l8, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
-
-    # per-tile histograms: compare-and-reduce, NOT segment_sum — scatter
-    # lowers to serialized per-element updates on TPU and was measured to
-    # dominate the whole TTA step (round 3); an eq+sum over the tile's
-    # pixels fuses into a vectorized reduction with no scatter at all
     tiles = padded.reshape(b, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
     tiles = tiles.reshape(b, gh, gw, th * tw)
     bins = jnp.arange(256, dtype=padded.dtype)
     hist = (tiles[..., None] == bins).astype(jnp.int32).sum(3)
+    return hist, (th, tw)
 
-    n_px = th * tw
+
+def _luts_from_hist(hist, clip_limit, n_px):
+    """[B,gh,gw,256] int32 histograms → f32 [B,gh,gw,256] LUTs (cv2's
+    clip/uniform-redistribute/CDF-normalize semantics, as clahe_gray)."""
+    import jax.numpy as jnp
+
     clip = max(1, int(clip_limit * n_px / 256.0))
     excess = jnp.maximum(hist - clip, 0).sum(-1, keepdims=True)
     hist = jnp.minimum(hist, clip) + excess // 256
@@ -171,14 +172,56 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
     cdf_min = jnp.min(jnp.where(cdf > 0, cdf, big), -1, keepdims=True)
     cdf_min = jnp.where(cdf[..., -1:] > 0, cdf_min, 0)
     denom = jnp.maximum(cdf[..., -1:] - cdf_min, 1)
-    luts = jnp.clip(jnp.round(
+    return jnp.clip(jnp.round(
         (cdf - cdf_min).astype(jnp.float32) * 255.0
-        / denom.astype(jnp.float32)), 0, 255)        # f32 [B,gh,gw,256]
+        / denom.astype(jnp.float32)), 0, 255)
+
+
+def clahe_gray_device(l8, clip_limit: float = 2.0,
+                      grid: Tuple[int, int] = (8, 8)):
+    """int32 [B, H, W] values 0..255 → int32 [B, H, W], batched jnp CLAHE.
+
+    Bit-faithful port of clahe_gray (same padding, clip/redistribution,
+    CDF normalization, and LUT interpolation semantics)."""
+    import jax.numpy as jnp
+
+    b, h, w = l8.shape
+    gh, gw = grid
+    hist, (th, tw) = _tile_histograms(l8, grid)
+    luts = _luts_from_hist(hist, clip_limit, th * tw)  # f32 [B,gh,gw,256]
+
+    if h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
+        out = _apply_luts_blocked(luts[:, :, :, None], l8, gh, gw, th, tw)[0]
+    else:
+        out = _apply_luts_gather(luts, l8, gh, gw, th, tw)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+
+
+def clahe_gray_device_multi(l8, clip_limits, grid=(8, 8)):
+    """int32 [B,H,W] × V clip limits → int32 [V,B,H,W] in ONE pass.
+
+    MEASURED AND REJECTED for the TTA ladder (kept as the record +
+    available API): only the clip/redistribute step depends on the clip
+    value, so this shares the histograms / one-hots explicitly — but XLA
+    CSE already deduplicates those identical subexpressions across V
+    separate clahe_gray_device calls in one jit, and the V-folded wider
+    matmul measured 118 → 182 ms/batch-128 SLOWER (chunk size 8 or 32,
+    same result; BASELINE.md round 3). Bit-identical to V separate
+    calls (pinned in tests/test_clahe.py)."""
+    import jax.numpy as jnp
+
+    b, h, w = l8.shape
+    gh, gw = grid
+    hist, (th, tw) = _tile_histograms(l8, grid)
+    luts = jnp.stack([_luts_from_hist(hist, c, th * tw)
+                      for c in clip_limits], axis=3)   # [B,gh,gw,V,256]
 
     if h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
         out = _apply_luts_blocked(luts, l8, gh, gw, th, tw)
     else:
-        out = _apply_luts_gather(luts, l8, gh, gw, th, tw)
+        out = jnp.stack([_apply_luts_gather(luts[:, :, :, v], l8,
+                                            gh, gw, th, tw)
+                         for v in range(len(clip_limits))])
     return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
 
 
@@ -219,8 +262,8 @@ def _apply_luts_gather(luts, l8, gh, gw, th, tw):
 
 
 def _corner_tables(luts, gh, gw):
-    """[B,gh,gw,256] → [B,2gh,2gw,4,256]: for every half-tile block, the
-    LUTs of its four bilinear corner tiles (y0x0, y0x1, y1x0, y1x1).
+    """[B,gh,gw,K] → [B,2gh,2gw,4,K]: for every half-tile block, the
+    LUT rows of its four bilinear corner tiles (y0x0, y0x1, y1x0, y1x1).
 
     Pixels inside one half-tile block all share the same corner tiles,
     and the block→tile maps (qy-1)//2 and (qy+1)//2 (clamped) are static
@@ -244,22 +287,29 @@ def _corner_tables(luts, gh, gw):
 
 
 def _apply_luts_blocked(luts, l8, gh, gw, th, tw):
-    """TPU-fast LUT application: half-tile blocks × bit-split lookup.
+    """TPU-fast LUT application: half-tile blocks × bit-split lookup,
+    for V LUT variants at once (luts [B,gh,gw,V,256] → out [V,B,H,W]).
 
     For each block the 4 corner LUTs [4,256] are reshaped to [4,32,8];
-    the hi 5 bits of each pixel select a [4,8] row via a one-hot matmul
+    the hi 5 bits of each pixel select a [V,4,8] row via a one-hot matmul
     (MXU), the lo 3 bits select within it via a fused eq+multiply
     reduction (VPU), and the 4 corner values blend with the standard
     bilinear weights in exactly clahe_gray's nesting order — bit-exact
     with _apply_luts_gather, measured 72× faster at batch 128 (39 vs
-    2820 ms, BASELINE.md round 3)."""
+    2820 ms, BASELINE.md round 3). The pixel one-hots and bilinear
+    weights are clip-independent, so V variants share everything except
+    one wider MXU contraction (the multi-clip TTA win; V-folded results
+    are bit-identical to V single calls — each output element is the
+    same K=32 contraction either way)."""
     import jax
     import jax.numpy as jnp
 
     b, h, w = l8.shape
+    nv = luts.shape[3]
     bh, bw = th // 2, tw // 2
     qh, qw = 2 * gh, 2 * gw
-    L4 = _corner_tables(luts, gh, gw)                    # [B,qh,qw,4,256]
+    L4 = _corner_tables(luts.reshape(b, gh, gw, nv * 256), gh, gw)
+    L4 = L4.reshape(b, qh, qw, 4, nv, 256)               # [B,qh,qw,4,V,256]
     vb = l8.reshape(b, qh, bh, qw, bw).transpose(0, 1, 3, 2, 4)
     vb = vb.reshape(b, qh, qw, bh * bw)
 
@@ -267,35 +317,67 @@ def _apply_luts_blocked(luts, l8, gh, gw, th, tw):
     wx = _interp_weights_1d(w, tw, gw).reshape(qw, bw)
     wyf = jnp.broadcast_to(wy[:, None, :, None], (qh, qw, bh, bw))
     wxf = jnp.broadcast_to(wx[None, :, None, :], (qh, qw, bh, bw))
-    wyf = wyf.reshape(qh, qw, bh * bw)
-    wxf = wxf.reshape(qh, qw, bh * bw)
+    wyf = wyf.reshape(qh, qw, bh * bw)[..., None]
+    wxf = wxf.reshape(qh, qw, bh * bw)[..., None]
 
     def chunk(args):
-        L4c, vc = args                                   # [C,qh,qw,4,256] / [C,qh,qw,P]
+        L4c, vc = args                       # [C,qh,qw,4,V,256] / [C,qh,qw,P]
         c = L4c.shape[0]
-        L2 = L4c.reshape(c, qh, qw, 4, 32, 8).astype(jnp.bfloat16)
+        L2 = L4c.reshape(c, qh, qw, 4, nv, 32, 8).astype(jnp.bfloat16)
         hi = vc >> 3
         lo = vc & 7
         hi_oh = (hi[..., None] == jnp.arange(32)).astype(jnp.bfloat16)
-        L4m = L2.transpose(0, 1, 2, 4, 3, 5).reshape(c, qh, qw, 32, 32)
-        tmp = jax.lax.dot_general(                       # [C,qh,qw,P,32]
+        L4m = L2.transpose(0, 1, 2, 5, 4, 3, 6).reshape(
+            c, qh, qw, 32, nv * 4 * 8)
+        tmp = jax.lax.dot_general(                       # [C,qh,qw,P,V·32]
             hi_oh, L4m,
             (((4,), (3,)), ((0, 1, 2), (0, 1, 2))),
             preferred_element_type=jnp.bfloat16)         # values ≤255: exact
-        tmp = tmp.reshape(c, qh, qw, bh * bw, 4, 8).astype(jnp.float32)
+        tmp = tmp.reshape(c, qh, qw, bh * bw, nv, 4, 8).astype(jnp.float32)
         lo_oh = (lo[..., None] == jnp.arange(8)).astype(jnp.float32)
-        p = (tmp * lo_oh[..., None, :]).sum(5)           # [C,qh,qw,P,4]
+        p = (tmp * lo_oh[..., None, None, :]).sum(6)     # [C,qh,qw,P,V,4]
         return ((1 - wyf) * ((1 - wxf) * p[..., 0] + wxf * p[..., 1])
                 + wyf * ((1 - wxf) * p[..., 2] + wxf * p[..., 3]))
 
     cs = min(b, 32)                # bound the matmul intermediate (~1.6 GB)
     while b % cs:
         cs -= 1
-    L4c = L4.reshape(b // cs, cs, qh, qw, 4, 256)
+    L4c = L4.reshape(b // cs, cs, qh, qw, 4, nv, 256)
     vbc = vb.reshape(b // cs, cs, qh, qw, bh * bw)
-    out = jax.lax.map(chunk, (L4c, vbc))
-    out = out.reshape(b, qh, qw, bh, bw).transpose(0, 1, 3, 2, 4)
-    return out.reshape(b, h, w)
+    out = jax.lax.map(chunk, (L4c, vbc))                 # [B/C,C,qh,qw,P,V]
+    out = out.reshape(b, qh, qw, bh, bw, nv)
+    out = out.transpose(5, 0, 1, 3, 2, 4)
+    return out.reshape(nv, b, h, w)
+
+
+def _lab_forward_device(rgb):
+    """f32 [...,3] RGB 0..1 → (L, a, b) channels (mirrors rgb_to_lab)."""
+    import jax.numpy as jnp
+
+    m = jnp.asarray(_RGB2XYZ)
+    white = jnp.asarray(_WHITE)
+    xyz = rgb @ m.T / white
+    d = 6.0 / 29.0
+    fxyz = jnp.where(xyz > d**3, jnp.cbrt(xyz), xyz / (3 * d * d) + 4.0 / 29.0)
+    L = 116.0 * fxyz[..., 1] - 16.0
+    a = 500.0 * (fxyz[..., 0] - fxyz[..., 1])
+    bb = 200.0 * (fxyz[..., 1] - fxyz[..., 2])
+    return L, a, bb
+
+
+def _lab_inverse_device(L2, a, bb):
+    """(L, a, b) → f32 [...,3] RGB 0..1 (mirrors lab_to_rgb)."""
+    import jax.numpy as jnp
+
+    d = 6.0 / 29.0
+    white = jnp.asarray(_WHITE)
+    fy = (L2 + 16.0) / 116.0
+    fx2 = fy + a / 500.0
+    fz = fy - bb / 200.0
+    f3 = jnp.stack([fx2, fy, fz], -1)
+    xyz2 = jnp.where(f3 > d, f3**3, 3 * d * d * (f3 - 4.0 / 29.0)) * white
+    out = xyz2 @ jnp.asarray(_XYZ2RGB).T
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def clahe_rgb_device(x, clip_limit: float = 2.0,
@@ -306,25 +388,26 @@ def clahe_rgb_device(x, clip_limit: float = 2.0,
 
     dtype = x.dtype
     rgb = x.astype(jnp.float32)
-    # LAB forward (mirrors rgb_to_lab)
-    m = jnp.asarray(_RGB2XYZ)
-    white = jnp.asarray(_WHITE)
-    xyz = rgb @ m.T / white
-    d = 6.0 / 29.0
-    fxyz = jnp.where(xyz > d**3, jnp.cbrt(xyz), xyz / (3 * d * d) + 4.0 / 29.0)
-    L = 116.0 * fxyz[..., 1] - 16.0
-    a = 500.0 * (fxyz[..., 0] - fxyz[..., 1])
-    bb = 200.0 * (fxyz[..., 1] - fxyz[..., 2])
-
+    L, a, bb = _lab_forward_device(rgb)
     l8 = jnp.clip(jnp.round(L * 255.0 / 100.0), 0, 255).astype(jnp.int32)
     l8 = clahe_gray_device(l8, clip_limit, grid)
     L2 = l8.astype(jnp.float32) * 100.0 / 255.0
+    return _lab_inverse_device(L2, a, bb).astype(dtype)
 
-    # LAB inverse (mirrors lab_to_rgb)
-    fy = (L2 + 16.0) / 116.0
-    fx2 = fy + a / 500.0
-    fz = fy - bb / 200.0
-    f3 = jnp.stack([fx2, fy, fz], -1)
-    xyz2 = jnp.where(f3 > d, f3**3, 3 * d * d * (f3 - 4.0 / 29.0)) * white
-    out = xyz2 @ jnp.asarray(_XYZ2RGB).T
-    return jnp.clip(out, 0.0, 1.0).astype(dtype)
+
+def clahe_rgb_device_multi(x, clip_limits, grid=(8, 8)):
+    """float [B,H,W,3] × V clip limits → float [V,B,H,W,3] in one pass.
+
+    Shares the LAB forward transform, the per-tile histograms, and the
+    blocked lookup's one-hots across the V clip parameterizations (the
+    TTA ladder's 3 clahe_* variations); per-image results are
+    bit-identical to V separate clahe_rgb_device calls."""
+    import jax.numpy as jnp
+
+    dtype = x.dtype
+    rgb = x.astype(jnp.float32)
+    L, a, bb = _lab_forward_device(rgb)
+    l8 = jnp.clip(jnp.round(L * 255.0 / 100.0), 0, 255).astype(jnp.int32)
+    l8v = clahe_gray_device_multi(l8, clip_limits, grid)   # [V,B,H,W]
+    L2 = l8v.astype(jnp.float32) * 100.0 / 255.0
+    return _lab_inverse_device(L2, a[None], bb[None]).astype(dtype)

@@ -129,6 +129,12 @@ class CarDetector:
             if self._tile_filter is not None:
                 import numpy as _np
                 sel = _np.asarray(self._tile_filter(_np.asarray(tiles)))
+                if sel.dtype != bool and sel.shape == (len(tiles),) and \
+                        _np.isin(sel, (0, 1)).all():
+                    # an integer 0/1 per-tile array is a mask, not a list
+                    # of tile indices — treating it as indices would
+                    # silently scan only tiles 0 and 1
+                    sel = sel.astype(bool)
                 tiles = [t for t, keep in zip(
                     tiles, sel if sel.dtype == bool else
                     _np.isin(_np.arange(len(tiles)), sel)) if keep]

@@ -98,6 +98,11 @@ class DetectionServer:
                 if path != "/detect":
                     self._reply(404, {"error": "unknown path"})
                     return
+                if server._stop.is_set():
+                    # stop() is draining; without this, a request enqueued
+                    # after the one-shot drain would sit its full 60 s wait
+                    self._reply(503, {"error": "server stopping"})
+                    return
                 q = parse_qs(urlparse(self.path).query)
                 try:
                     bounds = np.asarray(
@@ -182,7 +187,8 @@ class DetectionServer:
     def stop(self):
         self._stop.set()
         # release queued waiters immediately instead of letting their
-        # 60 s waits expire one by one
+        # 60 s waits expire one by one (the handler 503s new requests
+        # once _stop is set, so the drain can't race fresh arrivals)
         try:
             while True:
                 p = self._q.get_nowait()
@@ -190,17 +196,14 @@ class DetectionServer:
                 p.event.set()
         except queue.Empty:
             pass
-        # in-flight batches still complete: the readback loop drains
-        # _inflight (sentinel-terminated) so dispatched requests get real
-        # results, not drops
+        # in-flight batches still complete: the readback loop keeps
+        # draining _inflight until the batch thread is dead AND the queue
+        # is empty (no sentinel — a sentinel could race a batch the still-
+        # running batch thread dispatches after it, orphaning its waiters)
         if self._batch_thread.is_alive():
-            self._batch_thread.join(timeout=5.0)
+            self._batch_thread.join(timeout=90.0)
         if self._readback_thread.is_alive():
-            try:
-                self._inflight.put(None, timeout=1.0)
-            except queue.Full:
-                pass
-            self._readback_thread.join(timeout=10.0)
+            self._readback_thread.join(timeout=90.0)
         self._httpd.shutdown()
         self._httpd.server_close()
 
@@ -257,9 +260,14 @@ class DetectionServer:
         waiters."""
         step = self.step
         while True:
-            item = self._inflight.get()
-            if item is None:
-                if self._stop.is_set():
+            try:
+                item = self._inflight.get(timeout=0.2)
+            except queue.Empty:
+                # exit only once no more batches can arrive: stop
+                # requested AND the dispatching thread is gone AND the
+                # queue stayed empty — guarantees every dispatched batch
+                # is read back, never dropped
+                if self._stop.is_set() and not self._batch_thread.is_alive():
                     return
                 continue
             group, det, bnds, t0 = item

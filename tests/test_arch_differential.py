@@ -75,6 +75,9 @@ def test_yolov8_differential(scale):
 
     torch_outs = run_spec_torch(spec, sd, x, nc=nc, family="yolov8")
 
+    # deliberately re-derived by hand (NOT import_torch.yolov8_n_c2f):
+    # the differential test must not share the depth table with the code
+    # under test, or a wrong table would validate itself
     d = {"n": 1 / 3, "s": 1 / 3, "m": 2 / 3, "l": 1.0, "x": 1.0}[scale]
     n3, n6 = max(1, round(3 * d)), max(1, round(6 * d))
     n_c2f = {"c2f1": n3, "c2f2": n6, "c2f3": n6, "c2f4": n3,
@@ -185,7 +188,5 @@ def test_v8_spec_channels_match_flax_shapes():
         _, w2, r2 = SCALES[sc]
         for base in (64, 128, 256, 512, 1024):
             spec_c = _mdiv8(min(base, maxc) * w)
-            ours = _r(min(base, 512 * r2) if base == 1024 else base, w2)
-            if base == 1024:
-                ours = _r(512 * r2, w2)
+            ours = _r(512 * r2 if base == 1024 else base, w2)
             assert spec_c == ours, (sc, base, spec_c, ours)

@@ -106,3 +106,44 @@ def test_tta_clahe_variation_is_exact_now(rng):
     out = apply_variation(x, "clahe_2.0")
     want = clahe_rgb_device(x, clip_limit=2.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want))
+
+
+def test_multi_clip_clahe_bit_identical_to_single_calls(rng):
+    """clahe_*_device_multi (shared histograms + V-folded blocked lookup)
+    must equal V separate single-clip calls exactly, on both the blocked
+    geometry (even tiles, exact multiple) and the gather fallback."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.clahe import (
+        clahe_gray_device, clahe_gray_device_multi,
+        clahe_rgb_device, clahe_rgb_device_multi)
+
+    clips = [2.0, 3.0, 4.0]
+    for shape in ((3, 64, 64), (2, 50, 46)):     # blocked / gather fallback
+        l8 = jnp.asarray(rng.integers(0, 255, shape), jnp.int32)
+        multi = np.asarray(clahe_gray_device_multi(l8, clips))
+        for v, c in enumerate(clips):
+            single = np.asarray(clahe_gray_device(l8, clip_limit=c))
+            np.testing.assert_array_equal(multi[v], single, err_msg=str((shape, c)))
+
+    x = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3)), jnp.float32) / 255.0
+    multi = np.asarray(clahe_rgb_device_multi(x, clips))
+    for v, c in enumerate(clips):
+        single = np.asarray(clahe_rgb_device(x, clip_limit=c))
+        np.testing.assert_allclose(multi[v], single, atol=1e-6,
+                                   err_msg=str(c))
+
+
+def test_expand_tta_matches_per_variation_loop(rng):
+    """expand_tta must equal the per-variation loop (guards any future
+    regrouping of the ladder — e.g. the measured-and-rejected multi-clip
+    fold — against reordering or numeric drift)."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.augment import (
+        DEFAULT_VARIATIONS, apply_variation, expand_tta)
+
+    x = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3)), jnp.float32) / 255.0
+    got, w = expand_tta(x)
+    naive = jnp.concatenate(
+        [apply_variation(x, name) for name, _ in DEFAULT_VARIATIONS], axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(naive), atol=1e-6)
+    assert w.shape == (len(DEFAULT_VARIATIONS),)

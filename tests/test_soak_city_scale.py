@@ -157,10 +157,18 @@ def test_soak_interrupt_resume_identical(tmp_path, variant):
         assert out_a["detections"] == len(ra)
 
         # (d) cross-variant: the DP-mesh soak's final set is byte-identical
-        # to the single-device soak's (same world, grid, weights)
+        # to the single-device soak's (same world, grid, weights).
+        # Parametrize order runs "single" first in one process; if only
+        # dp8 was selected (-k / xdist split), SKIP loudly rather than
+        # silently passing without the comparison.
         _FINAL_SETS[variant] = ra
-        if len(_FINAL_SETS) == 2:
+        if variant == "dp8":
+            if "single" not in _FINAL_SETS:
+                pytest.skip("single-device variant did not run in this "
+                            "process — cross-variant byte-identity not "
+                            "checked")
             assert _FINAL_SETS["single"] == _FINAL_SETS["dp8"], (
                 "data-parallel soak diverged from single-device soak")
+            _FINAL_SETS.clear()        # no stale reuse on in-process rerun
     finally:
         srv.stop()
