@@ -252,3 +252,49 @@ def test_serve_stop_drains_pending_waiters():
         assert dt < 15.0, "a waiter sat out its full timeout"
     drained = sum(1 for c, e, _ in rs if c == 503 and "stopping" in e)
     assert drained >= 1
+
+
+def test_serve_stop_never_orphans_dispatched_batch():
+    """A batch in flight when stop() is called — with a step slower than
+    any join grace — must still be read back and answered with real
+    results (not left to expire), and the readback thread must exit
+    (regression: the old sentinel could race a still-running batch
+    thread, orphaning its batch and leaking the readback loop)."""
+    import time
+    from aerial_image_recognition_tpu.ops.nms import Detections
+    from aerial_image_recognition_tpu.pipeline.serve import DetectionServer
+
+    class VerySlowStep:
+        batch, input_size, model_size = 2, 16, 16
+        bundle = _fake_bundle()
+
+        def __call__(self, imgs, bnds):
+            time.sleep(7.0)      # > the old 5 s batch-thread join grace
+            b = imgs.shape[0]
+            z = np.zeros((b, 4), np.float32)
+            det = Detections(boxes=np.zeros((b, 4, 4), np.float32),
+                             scores=np.zeros((b, 4), np.float32),
+                             classes=np.zeros((b, 4), np.int32),
+                             valid=np.zeros((b, 4), bool))
+            return det, z, z
+
+    srv = DetectionServer(detect_step=VerySlowStep(), max_wait_ms=1.0)
+    srv.start(warmup=False)
+    img = io.BytesIO()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img, "PNG")
+
+    def one(_):
+        r = requests.post(
+            srv.url + "/detect",
+            params={"west": 0, "south": 0, "east": 1, "north": 1},
+            data=img.getvalue(), timeout=30)
+        return r.status_code
+
+    with cf.ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(one, i) for i in range(2)]
+        time.sleep(1.0)          # batch of 2 assembled and dispatching
+        srv.stop()
+        codes = [f.result(timeout=30) for f in futs]
+    assert codes == [200, 200], codes
+    assert not srv._readback_thread.is_alive(), "readback thread leaked"
+    assert not srv._batch_thread.is_alive()
