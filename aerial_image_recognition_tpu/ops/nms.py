@@ -74,9 +74,69 @@ def _nms_single(top_boxes, top_scores, top_cls, num_classes, conf_threshold,
     )
 
 
+def _nms_fixpoint(top_boxes, top_scores, top_cls, conf, iou_threshold,
+                  max_det, class_aware):
+    """Exact greedy NMS without the serial pick loop (whole batch at once).
+
+    Greedy NMS has a closed fixpoint characterization: box i survives iff
+    no higher-priority surviving box overlaps it (priority = score desc,
+    index asc — exactly argmax's tie rule in the sequential forms). The
+    dependency graph is acyclic (strictly higher priority), so Jacobi
+    iteration from all-survive converges to the unique fixpoint in
+    longest-suppression-chain rounds (a handful on real tile loads, vs
+    max_det serial rounds for the scan/Pallas forms). Each round is one
+    fused [B,K,K] masked any-reduce — VPU-shaped work with no
+    data-dependent control flow inside.
+
+    top_boxes [B,K,4], top_scores [B,K], top_cls [B,K] → Detections.
+    Bit-identical picks to _nms_single / nms_suppress_pallas for any input
+    (survivors in score order ARE the greedy pick sequence; lax.top_k and
+    argmax share the lowest-index tie rule).
+    """
+    b, k = top_scores.shape
+    s = jnp.where(top_scores >= conf, top_scores.astype(jnp.float32), -1.0)
+    iou = jax.vmap(lambda bx: iou_matrix(bx, bx))(top_boxes)
+    if class_aware:
+        same = top_cls[:, :, None] == top_cls[:, None, :]
+        iou = jnp.where(same, iou, 0.0)
+    lane = jnp.arange(k, dtype=jnp.int32)
+    # dom[b,i,j]: j may suppress i (overlaps and strictly higher priority)
+    beats = (s[:, None, :] > s[:, :, None]) | (
+        (s[:, None, :] == s[:, :, None]) & (lane[None, :] < lane[:, None]))
+    dom = (iou > iou_threshold) & beats
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        kept, _ = state
+        new = ~jnp.any(dom & kept[:, None, :], axis=2)
+        return new, jnp.any(new != kept)
+
+    kept, _ = jax.lax.while_loop(cond, body,
+                                 (jnp.ones_like(s, dtype=bool), True))
+    d = min(max_det, k)
+    pick_score, pick_idx = jax.lax.top_k(jnp.where(kept, s, -1.0), d)
+    if d < max_det:                       # fewer candidates than slots
+        pad = max_det - d
+        pick_score = jnp.pad(pick_score, ((0, 0), (0, pad)),
+                             constant_values=-1.0)
+        pick_idx = jnp.pad(pick_idx, ((0, 0), (0, pad)))
+    valid = pick_score >= conf
+    out_boxes = jnp.take_along_axis(top_boxes, pick_idx[..., None], axis=1)
+    out_cls = jnp.take_along_axis(top_cls, pick_idx, axis=1)
+    return Detections(
+        boxes=jnp.where(valid[..., None], out_boxes, 0.0),
+        scores=jnp.where(valid, pick_score, 0.0),
+        classes=jnp.where(valid, out_cls, -1),
+        valid=valid,
+    )
+
+
 @partial(jax.jit, static_argnames=("num_classes", "max_det", "pre_topk",
                                    "class_aware", "use_pallas",
-                                   "iou_threshold", "preselect"))
+                                   "iou_threshold", "preselect",
+                                   "suppression"))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 num_classes: int,
                 conf_threshold: float = 0.3,
@@ -85,7 +145,8 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 pre_topk: int = 512,
                 class_aware: bool = True,
                 use_pallas: bool = None,
-                preselect: str = "exact") -> Detections:
+                preselect: str = "exact",
+                suppression: str = None) -> Detections:
     """boxes [B,A,4] cxcywh, scores [B,A,nc] → Detections with D=max_det.
 
     preselect: 'exact' (lax.top_k) or 'approx' (lax.approx_max_k — the
@@ -100,6 +161,8 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
 
     if use_pallas is None:
         use_pallas = pallas_available()
+    if suppression is None:
+        suppression = "pallas" if use_pallas else "scan"
     conf = jnp.asarray(conf_threshold, dtype=scores.dtype)
 
     b, a, _ = boxes.shape
@@ -113,7 +176,11 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cls, idx, axis=1)
 
-    if not use_pallas:
+    if suppression == "fixpoint":
+        return _nms_fixpoint(top_boxes, top_scores, top_cls, conf,
+                             iou_threshold, max_det,
+                             class_aware and num_classes > 1)
+    if suppression == "scan" or not use_pallas:
         iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
         return jax.vmap(
             lambda tb, ts, tc: _nms_single(tb, ts, tc, num_classes, conf,

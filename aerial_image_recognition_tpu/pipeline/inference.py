@@ -89,7 +89,10 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             # tile holds). Exact mode stays one config knob away.
             pre_topk=int(cfg.extra.get("nms_pre_topk", 256)),
             class_aware=True,
-            preselect=cfg.extra.get("nms_preselect", "approx"))
+            preselect=cfg.extra.get("nms_preselect", "approx"),
+            # None → pallas on TPU, scan elsewhere; "fixpoint" selects the
+            # Jacobi-fixpoint formulation (ops/nms._nms_fixpoint)
+            suppression=cfg.extra.get("nms_suppression"))
         lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
         return det, lon, lat
 

@@ -124,3 +124,56 @@ def test_fast_nms_defaults_match_exact_on_trained_load():
                         np.asarray(det_s.scores[b])[vs[b]].tolist()))
         np.testing.assert_allclose(np.asarray(pf), np.asarray(ps),
                                    rtol=0, atol=1e-7)
+
+
+@pytest.mark.parametrize("nc,class_aware", [(1, True), (3, True)])
+def test_fixpoint_matches_scan(rng, nc, class_aware):
+    """The Jacobi-fixpoint suppression must reproduce greedy NMS exactly
+    (same picks, scores, classes, validity) on clustered random loads."""
+    boxes, scores = _random_problem(rng, nc=nc)
+    kw = dict(num_classes=nc, conf_threshold=0.3, iou_threshold=0.45,
+              max_det=64, pre_topk=256, class_aware=class_aware)
+    ref = batched_nms(boxes, scores, use_pallas=False, **kw)
+    got = batched_nms(boxes, scores, suppression="fixpoint", **kw)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                               rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.boxes)[np.asarray(got.valid)],
+        np.asarray(ref.boxes)[np.asarray(ref.valid)], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.classes),
+                                  np.asarray(ref.classes))
+
+
+def test_fixpoint_suppression_chain():
+    """The case that separates exact greedy from one-shot matrix NMS: a
+    chain A>B>C where A suppresses B, so C must SURVIVE (its only
+    higher-scoring overlapper was itself suppressed). Jacobi iteration must
+    run past the first round to get this right."""
+    # 6 boxes in a row: consecutive pairs IoU 0.60, one-apart 0.33 — only
+    # immediate neighbors suppress at threshold 0.45
+    n = 6
+    boxes = np.zeros((1, n, 4), np.float32)
+    for i in range(n):
+        boxes[0, i] = (10.0 * i, 50.0, 40.0, 40.0)   # stride 10, size 40
+    scores = np.linspace(0.9, 0.6, n, dtype=np.float32).reshape(1, n, 1)
+    det = batched_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                      num_classes=1, conf_threshold=0.3, iou_threshold=0.45,
+                      max_det=8, pre_topk=n, suppression="fixpoint")
+    ref = batched_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                      num_classes=1, conf_threshold=0.3, iou_threshold=0.45,
+                      max_det=8, pre_topk=n, use_pallas=False)
+    # greedy keeps the even-indexed boxes: 0 kills 1, 2 kills 3, 4 kills 5
+    kept_x = sorted(np.asarray(det.boxes[0, :, 0])[np.asarray(det.valid[0])])
+    assert kept_x == [0.0, 20.0, 40.0]
+    np.testing.assert_array_equal(np.asarray(det.valid), np.asarray(ref.valid))
+    np.testing.assert_allclose(np.asarray(det.scores), np.asarray(ref.scores))
+
+
+def test_fixpoint_empty_input():
+    boxes = jnp.zeros((2, 64, 4), jnp.float32)
+    scores = jnp.zeros((2, 64, 1), jnp.float32)
+    det = batched_nms(boxes, scores, num_classes=1, conf_threshold=0.3,
+                      max_det=16, pre_topk=64, suppression="fixpoint")
+    assert int(det.valid.sum()) == 0
+    assert int((det.classes == -1).sum()) == 2 * 16
