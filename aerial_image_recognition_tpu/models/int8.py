@@ -1,0 +1,370 @@
+"""Post-training int8 quantization of the yolov7-tiny trunk (TPU MXU path).
+
+The reference deploys through ONNX Runtime with a TensorRT config in its
+archived snapshot (reference simple_detector.py arch notes; SURVEY §2.1) —
+fp16/int8 engine builds are TensorRT's job there. The TPU-native analogue
+is explicit s8×s8→s32 convolution on the MXU, which the v5e runs at 2× the
+bf16 rate and which also halves the HBM bytes between layers (the measured
+bound on the ELAN stages — BASELINE.md round-2 MFU analysis).
+
+Scheme (standard PTQ, arranged so the int8 graph needs NO runtime rescales):
+  * weights: per-output-channel symmetric int8, BatchNorm folded first
+    (same math as models/layers.fold_batchnorm);
+  * activations: per-tensor symmetric int8, scales from a calibration pass
+    (absmax of every ConvBN output, captured via flax intermediates);
+  * each producer's output scale is folded into every consumer's kernel
+    slice for that producer's channels — so concatenations of differently
+    scaled int8 tensors are PLAIN int8 concats, and max-pools / nearest
+    upsamples pass int8 through untouched (value-preserving ⇒ scale-
+    preserving);
+  * leaky-relu is positively homogeneous (leaky(a·x) = a·leaky(x), a>0),
+    so the requantize division folds into the conv epilogue constants:
+      y_i8 = clip(round(leaky(conv_s32 · (s_w/s_out) + b/s_out)))
+    — one fused elementwise chain per conv, int8 in / int8 out.
+
+The stems stay bf16 (they are the quad-stem lowering's domain — 3-channel
+input quantization would waste the MXU win there) and the three detect
+heads stay f32 (logit-sensitive, ~1% of FLOPs). The trunk graph below
+mirrors models/yolov7.YOLOv7._tiny exactly (elan1 → out3/4/5); a prepare/
+run interpreter pair shares the single transcription, and
+tests/test_int8.py pins detection-set parity against the bf16 model on the
+trained fixture.
+"""
+
+from dataclasses import dataclass, replace
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+# ---------------------------------------------------------------------------
+# calibration
+
+
+def flatten_intermediates(inter, prefix=()):
+    """{'elan1': {'cv1': {'__call__': (arr,)}}} → {'elan1/cv1': arr}."""
+    out = {}
+    for key, val in inter.items():
+        if key == "__call__":
+            for v in val:
+                if hasattr(v, "shape"):
+                    out["/".join(prefix)] = v
+        elif isinstance(val, dict):
+            out.update(flatten_intermediates(val, prefix + (key,)))
+    return out
+
+
+def calibrate_absmax(bundle, batches: Sequence[Any],
+                     model_size: Optional[int] = None) -> Dict[str, float]:
+    """Run the standard bf16 forward over calibration batches, recording the
+    absmax of every module output (keyed 'elan1/cv1'). batches: uint8
+    [B,S,S,3] arrays (preprocessed here) or float arrays already in [0,1].
+    """
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+    size = model_size or bundle.spec.input_size
+    absmax: Dict[str, float] = {}
+    for imgs in batches:
+        x = jnp.asarray(imgs)
+        if x.dtype == jnp.uint8:
+            x = preprocess_batch(x, out_size=size, dtype=jnp.float32)
+        _, mut = bundle.module.apply(
+            bundle.params, x, train=False,
+            capture_intermediates=True, mutable=["intermediates"])
+        for key, v in flatten_intermediates(mut["intermediates"]).items():
+            m = float(jnp.max(jnp.abs(v.astype(jnp.float32))))
+            absmax[key] = max(absmax.get(key, 0.0), m)
+    return absmax
+
+
+# ---------------------------------------------------------------------------
+# the shared trunk graph (single transcription, two interpreters)
+
+
+@dataclass
+class QT:
+    """A quantized tensor flowing through the trunk graph.
+
+    run mode: v is the int8 array (s/c are bookkeeping).
+    prepare mode: v is None; s is the static coding scale, c the channels.
+    """
+    v: Any
+    s: float
+    c: int
+
+
+def _elan(g, prefix: str, x):
+    """ELANTiny (models/yolov7.py:43-63): concat order [cv4,cv3,cv2,cv1]."""
+    cv1 = g.conv(f"{prefix}/cv1", x, 1)
+    cv2 = g.conv(f"{prefix}/cv2", x, 1)
+    cv3 = g.conv(f"{prefix}/cv3", cv2, 3)
+    cv4 = g.conv(f"{prefix}/cv4", cv3, 3)
+    return g.conv(f"{prefix}/out", [cv4, cv3, cv2, cv1], 1)
+
+
+def _sppcspc_tiny(g, prefix: str, x):
+    """SPPCSPCTiny (models/yolov7.py:133-157, SPPF-equivalent chain)."""
+    cv1 = g.conv(f"{prefix}/cv1", x, 1)
+    cv2 = g.conv(f"{prefix}/cv2", x, 1)
+    p5 = g.pool5(cv2)
+    p9 = g.pool5(p5)
+    p13 = g.pool5(p9)
+    y = g.conv(f"{prefix}/cv3", [p13, p9, p5, cv2], 1)
+    return g.conv(f"{prefix}/out", [y, cv1], 1)
+
+
+def _tiny_trunk(g, x):
+    """Mirror of YOLOv7._tiny from the P2 feature to the three head taps
+    (models/yolov7.py:218-246). Returns (o3, o4, o5) QTs."""
+    x = _elan(g, "elan1", x)
+    x = g.pool2(x)                                   # P3/8
+    p3 = _elan(g, "elan2", x)
+    x = g.pool2(p3)                                  # P4/16
+    p4 = _elan(g, "elan3", x)
+    x = g.pool2(p4)                                  # P5/32
+    p5 = _elan(g, "elan4", x)
+
+    spp = _sppcspc_tiny(g, "sppcspc", p5)
+    x = g.conv("up4_cv", spp, 1)
+    x = g.up2(x)
+    r4 = g.conv("route4", p4, 1)
+    f4 = _elan(g, "head_elan4", [r4, x])
+    x = g.conv("up3_cv", f4, 1)
+    x = g.up2(x)
+    r3 = g.conv("route3", p3, 1)
+    f3 = _elan(g, "head_elan3", [r3, x])
+    x = g.conv("down4_cv", f3, 3, stride=2)
+    f4b = _elan(g, "pan_elan4", [x, f4])
+    x = g.conv("down5_cv", f4b, 3, stride=2)
+    f5b = _elan(g, "pan_elan5", [x, spp])
+    o3 = g.conv("out3", f3, 3)
+    o4 = g.conv("out4", f4b, 3)
+    o5 = g.conv("out5", f5b, 3)
+    return o3, o4, o5
+
+
+class _Prepare:
+    """Walks the trunk graph building qparams from the f32 variables +
+    calibration scales. Raises on any channel-count mismatch between the
+    transcription and the checkpoint (the arch-differential safety net,
+    applied to this second transcription)."""
+
+    def __init__(self, variables, absmax: Dict[str, float],
+                 bn_eps: float = 1e-5):
+        self.p = variables["params"]
+        self.stats = variables["batch_stats"]
+        self.absmax = absmax
+        self.bn_eps = bn_eps
+        self.qparams: Dict[str, Any] = {}
+
+    def _node(self, tree, name):
+        for part in name.split("/"):
+            tree = tree[part]
+        return tree
+
+    def conv(self, name, x, kernel, stride=1):
+        parts = x if isinstance(x, list) else [x]
+        node = self._node(self.p, name)
+        stats = self._node(self.stats, name)["bn"]
+        k = np.asarray(node["conv"]["kernel"], np.float32)   # HWIO
+        gamma = np.asarray(node["bn"]["scale"], np.float32)
+        beta = np.asarray(node["bn"]["bias"], np.float32)
+        mean = np.asarray(stats["mean"], np.float32)
+        var = np.asarray(stats["var"], np.float32)
+        g = gamma / np.sqrt(var + self.bn_eps)
+        wf = k * g                                            # O is last
+        bf = beta - mean * g
+        if k.shape[0] != kernel or sum(p.c for p in parts) != k.shape[2]:
+            raise ValueError(
+                f"{name}: transcription/checkpoint mismatch — kernel "
+                f"{k.shape} vs k={kernel}, in_c={sum(p.c for p in parts)}")
+        # fold each producer's coding scale into its kernel slice: the int8
+        # concat then needs no runtime rescale
+        off = 0
+        for p in parts:
+            wf[:, :, off:off + p.c, :] *= p.s
+            off += p.c
+        o = k.shape[3]
+        sw = np.maximum(np.abs(wf).reshape(-1, o).max(axis=0), 1e-12) / 127.0
+        w8 = np.clip(np.round(wf / sw), -127, 127).astype(np.int8)
+        if name not in self.absmax:
+            raise KeyError(f"no calibration record for {name}")
+        s_out = max(self.absmax[name], 1e-12) / 127.0
+        self.qparams[name] = {
+            "w8": jnp.asarray(w8),
+            "m": jnp.asarray((sw / s_out).astype(np.float32)),
+            "b": jnp.asarray((bf / s_out).astype(np.float32)),
+        }
+        return QT(None, s_out, o)
+
+    def pool2(self, x):
+        return x          # value-preserving ⇒ scale/channels unchanged
+
+    def pool5(self, x):
+        return x
+
+    def up2(self, x):
+        return x
+
+
+class _Run:
+    """Executes the trunk graph on int8 arrays with prepared qparams."""
+
+    def __init__(self, qparams):
+        self.q = qparams
+
+    def conv(self, name, x, kernel, stride=1):
+        parts = x if isinstance(x, list) else [x]
+        v = (parts[0].v if len(parts) == 1
+             else jnp.concatenate([p.v for p in parts], axis=-1))
+        qp = self.q[name]
+        pad = kernel // 2
+        r = lax.conv_general_dilated(
+            v, qp["w8"], (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        # leaky(a·t) = a·leaky(t) for a>0 ⇒ the 1/s_out requant is already
+        # inside m and b; one fused elementwise epilogue, int8 out
+        y = jax.nn.leaky_relu(
+            r.astype(jnp.float32) * qp["m"] + qp["b"], 0.1)
+        out = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+        return QT(out, 0.0, out.shape[-1])
+
+    def pool2(self, x):
+        from flax import linen as nn
+        return replace(x, v=nn.max_pool(x.v, (2, 2), strides=(2, 2),
+                                        padding="VALID"))
+
+    def pool5(self, x):
+        from flax import linen as nn
+        return replace(x, v=nn.max_pool(x.v, (5, 5), strides=(1, 1),
+                                        padding="SAME"))
+
+    def up2(self, x):
+        from aerial_image_recognition_tpu.models.layers import upsample2
+        return replace(x, v=upsample2(x.v))
+
+
+# ---------------------------------------------------------------------------
+# stems (bf16) + head (f32) around the int8 trunk
+
+
+def _stems_bf16(variables, x, dtype=jnp.bfloat16, bn_eps=1e-5):
+    """The two stride-2 stem ConvBNs, eagerly mirrored from ConvBN
+    (models/layers.py:125-153: conv pad k//2 → inference BN → leaky)."""
+    p, s = variables["params"], variables["batch_stats"]
+    x = x.astype(dtype)
+    for nm in ("stem0", "stem1"):
+        k = jnp.asarray(p[nm]["conv"]["kernel"], dtype)
+        x = lax.conv_general_dilated(x, k, (2, 2), ((1, 1), (1, 1)),
+                                     dimension_numbers=_DN)
+        g = (p[nm]["bn"]["scale"]
+             * lax.rsqrt(s[nm]["bn"]["var"] + bn_eps)).astype(dtype)
+        x = (x - s[nm]["bn"]["mean"].astype(dtype)) * g \
+            + p[nm]["bn"]["bias"].astype(dtype)
+        x = jax.nn.leaky_relu(x, 0.1)
+    return x
+
+
+def _detect_heads(variables, feats_f32: List[jnp.ndarray]):
+    """The three 1×1 f32 detect convs (models/yolov7.py:196-204)."""
+    outs = []
+    for i, f in enumerate(feats_f32):
+        p = variables["params"][f"detect{i}"]
+        o = lax.conv_general_dilated(
+            f, jnp.asarray(p["kernel"], jnp.float32), (1, 1),
+            ((0, 0), (0, 0)), dimension_numbers=_DN) + p["bias"]
+        outs.append(o)
+    return outs
+
+
+def _trunk_raw(params, p2_bf16):
+    """int8 trunk + f32 heads: P2 feature → raw per-level maps."""
+    q = params["q"]
+    p2q = jnp.clip(jnp.round(p2_bf16.astype(jnp.float32) / q["p2_scale"]),
+                   -127, 127).astype(jnp.int8)
+    g = _Run(q["convs"])
+    o3, o4, o5 = _tiny_trunk(g, QT(p2q, 0.0, p2q.shape[-1]))
+    feats = [o.v.astype(jnp.float32) * sc
+             for o, sc in zip((o3, o4, o5), q["out_scales"])]
+    return _detect_heads(params["orig"], feats)
+
+
+# ---------------------------------------------------------------------------
+# public surface
+
+
+@dataclass
+class Int8Bundle:
+    """Drop-in for models.registry.ModelBundle (same forward contracts) with
+    the yolov7-tiny trunk quantized. params = {"orig": variables,
+    "q": {"p2_scale", "convs": {name: {w8,m,b}}, "out_scales"}} — one pytree
+    so jit / shard_map / device_put treat it like any other param tree."""
+    spec: Any
+    module: Any
+    params: Any
+
+    def supports_s2d2(self) -> bool:
+        return True      # yolov7-tiny standard stems by construction
+
+    def forward(self, params, images):
+        from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+        p2 = _stems_bf16(params["orig"], images, dtype=self.module.dtype)
+        outs = _trunk_raw(params, p2)
+        return decode_yolov7(outs, self.module.anchors,
+                             self.spec.num_classes)
+
+    def forward_s2d2(self, params, xq, in_scale=1.0 / 255.0):
+        from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+        from aerial_image_recognition_tpu.ops.quadstem import (
+            quad_stem_forward)
+        p2 = quad_stem_forward(params["orig"], xq, act="leaky",
+                               in_scale=in_scale, dtype=self.module.dtype,
+                               stem_names=("stem0", "stem1"), bn_eps=1e-5)
+        outs = _trunk_raw(params, p2)
+        return decode_yolov7(outs, self.module.anchors,
+                             self.spec.num_classes)
+
+
+def save_absmax(path: str, absmax: Dict[str, float]) -> None:
+    """Persist a calibration (plain JSON — the TensorRT-calibration-cache
+    analogue): calibrate once on representative imagery, reuse for every
+    later run via cfg.extra['quantize_calib']."""
+    import json
+    with open(path, "w") as f:
+        json.dump(absmax, f, indent=1, sort_keys=True)
+
+
+def load_absmax(path: str) -> Dict[str, float]:
+    import json
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}
+
+
+def quantize_bundle(bundle, calib_batches: Sequence[Any],
+                    model_size: Optional[int] = None,
+                    absmax: Optional[Dict[str, float]] = None) -> Int8Bundle:
+    """Calibrate + quantize a yolov7-tiny ModelBundle into an Int8Bundle.
+
+    calib_batches: a few representative uint8 [B,S,S,3] batches (or floats
+    in [0,1]). Pass absmax= to reuse a saved calibration instead.
+    """
+    if not (bundle.spec.family == "yolov7"
+            and getattr(bundle.module, "variant", "") == "tiny"):
+        raise NotImplementedError("int8 PTQ covers yolov7-tiny (flagship); "
+                                  "other families keep bf16")
+    if absmax is None:
+        absmax = calibrate_absmax(bundle, calib_batches, model_size)
+    prep = _Prepare(bundle.params, absmax, bn_eps=1e-5)
+    p2 = QT(None, max(absmax["stem1"], 1e-12) / 127.0, 64)
+    o3, o4, o5 = _tiny_trunk(prep, p2)
+    q = {
+        "p2_scale": jnp.float32(p2.s),
+        "convs": prep.qparams,
+        "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
+    }
+    params = {"orig": bundle.params, "q": q}
+    return Int8Bundle(spec=bundle.spec, module=bundle.module, params=params)

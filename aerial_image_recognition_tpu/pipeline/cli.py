@@ -159,7 +159,43 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "yolov8n..x)")
     pi.add_argument("--out", required=True, help="output .npz checkpoint")
 
+    pq = sub.add_parser("calibrate", help="record int8 activation scales "
+                        "from representative imagery (a GeoTIFF) — the "
+                        "TensorRT-calibration-cache analogue; feed the "
+                        "result to detect/serve via extra.quantize_calib")
+    pq.add_argument("path", help="representative GeoTIFF")
+    pq.add_argument("--model", default="yolov7_itcvd")
+    pq.add_argument("--params")
+    pq.add_argument("--window", type=int, default=640)
+    pq.add_argument("--max-windows", type=int, default=64)
+    pq.add_argument("--out", required=True, help="output calibration JSON")
+
     args = parser.parse_args(argv)
+
+    if args.command == "calibrate":
+        import numpy as np
+        import jax.numpy as jnp
+        from aerial_image_recognition_tpu.gio.geotiff import read_geotiff
+        from aerial_image_recognition_tpu.models.int8 import (
+            calibrate_absmax, save_absmax)
+        from aerial_image_recognition_tpu.models.registry import create_model
+        from aerial_image_recognition_tpu.pipeline.rasters import (
+            _extract, iter_windows)
+        bundle = create_model(args.model, dtype=jnp.float32,
+                              params_path=args.params)
+        gt = read_geotiff(args.path)
+        h, w = gt.data.shape[:2]
+        corners = list(iter_windows(h, w, args.window, args.window))
+        corners = corners[:args.max_windows]
+        batch = np.stack([_extract(gt.data, r, c, args.window)
+                          for r, c in corners])
+        absmax = calibrate_absmax(bundle, [batch],
+                                  model_size=bundle.spec.input_size)
+        save_absmax(args.out, absmax)
+        print(json.dumps({"out": args.out, "model": args.model,
+                          "windows": len(corners),
+                          "records": len(absmax)}))
+        return 0
 
     if args.command == "import-weights":
         import jax.numpy as jnp

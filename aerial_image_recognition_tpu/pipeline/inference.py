@@ -201,6 +201,20 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         cfg.model_path,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         params_path=cfg.params_path)
+    if (cfg.extra.get("quantize") == "int8"
+            and bundle.__class__.__name__ != "Int8Bundle"):
+        # int8 trunk PTQ (models/int8.py) — needs a saved calibration
+        # (CLI `calibrate` / models.int8.save_absmax); callers may instead
+        # pass a pre-built Int8Bundle via bundle=
+        from aerial_image_recognition_tpu.models.int8 import (
+            load_absmax, quantize_bundle)
+        calib = cfg.extra.get("quantize_calib")
+        if not calib:
+            raise ValueError(
+                "extra.quantize='int8' requires extra.quantize_calib "
+                "(a calibration JSON from the `calibrate` CLI verb or "
+                "models.int8.save_absmax)")
+        bundle = quantize_bundle(bundle, [], absmax=load_absmax(calib))
     quad = use_quad_stem(bundle, cfg, src_size=src_size,
                          crop_size=crop_size, model_size=model_size)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,

@@ -1,0 +1,211 @@
+"""int8 PTQ (models/int8.py): quantized-trunk detection parity vs bf16.
+
+The int8 graph is a second transcription of the yolov7-tiny trunk, so these
+tests serve the same role as tests/test_arch_differential.py does for the
+flax model: any structural divergence (concat order, padding, stride) or
+scale-folding bug shows up as detection mismatch on the trained fixture.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "yolov7_tiny_fakeworld.npz")
+SIZE = 96   # the fixture's training scale: 96 px / 48 m = 0.5 m/px
+
+
+def _scene_tiles():
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=400, seed=4)
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    half = 24.0  # meters (48 m tiles)
+    tiles = []
+    for lon, lat, _ in world.cars[:12]:
+        bb = (lon - half * m2lon, lat - half * m2lat,
+              lon + half * m2lon, lat + half * m2lat)
+        tiles.append(world.render(bb, SIZE, SIZE))
+    return np.stack(tiles)
+
+
+@pytest.fixture(scope="module")
+def bundles():
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    if not os.path.exists(FIXTURE):
+        pytest.skip("trained fixture not present")
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(FIXTURE))
+    tiles = _scene_tiles()
+    qb = quantize_bundle(bundle, [tiles[:8]], model_size=SIZE)
+    return bundle, qb, tiles
+
+
+def _detect(bundle, params, x, suppression=None):
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+    boxes, scores = bundle.forward(params, x)
+    return batched_nms(boxes.astype(jnp.float32), scores.astype(jnp.float32),
+                       num_classes=1, conf_threshold=0.4, iou_threshold=0.45,
+                       max_det=32, pre_topk=256, use_pallas=False)
+
+
+def test_int8_detections_match_bf16(bundles):
+    """Per-tile detection parity on real trained-scene tiles: same counts,
+    tight box agreement, small score drift."""
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+    bundle, qb, tiles = bundles
+    x = preprocess_batch(jnp.asarray(tiles), out_size=SIZE,
+                         dtype=jnp.float32)
+    ref = _detect(bundle, bundle.params, x)
+    got = _detect(qb, qb.params, x)
+    n_ref = np.asarray(ref.valid).sum(axis=1)
+    n_got = np.asarray(got.valid).sum(axis=1)
+    assert n_ref.sum() >= 12, "trained model should find the centered cars"
+    np.testing.assert_array_equal(n_got, n_ref)
+    for b in range(len(tiles)):
+        v = np.asarray(ref.valid[b])
+        rb = np.asarray(ref.boxes[b])[v]
+        gb = np.asarray(got.boxes[b])[np.asarray(got.valid[b])]
+        # greedy match by center distance
+        for r in rb:
+            d = np.abs(gb[:, :2] - r[:2]).sum(axis=1)
+            j = int(d.argmin())
+            # centers within 1.5 px, sizes within 15%
+            assert np.all(np.abs(gb[j, :2] - r[:2]) < 1.5), (b, r, gb[j])
+            assert np.all(np.abs(gb[j, 2:] - r[2:])
+                          < 0.15 * np.maximum(r[2:], 4)), (b, r, gb[j])
+        rs = np.sort(np.asarray(ref.scores[b])[v])
+        gs = np.sort(np.asarray(got.scores[b])[np.asarray(got.valid[b])])
+        np.testing.assert_allclose(gs, rs, atol=0.06)
+
+
+def test_int8_quad_path_matches_hwc(bundles):
+    """forward_s2d2 (quad-stem entry) must agree with the standard int8
+    path — same trunk, different stem lowering."""
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+    from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+    bundle, qb, tiles = bundles
+    x = preprocess_batch(jnp.asarray(tiles), out_size=SIZE,
+                         dtype=jnp.float32)
+    ref = _detect(qb, qb.params, x)
+
+    xq = jnp.asarray(host_s2d2(tiles))
+    boxes, scores = qb.forward_s2d2(qb.params, xq)
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+    got = batched_nms(boxes.astype(jnp.float32),
+                      scores.astype(jnp.float32), num_classes=1,
+                      conf_threshold=0.4, iou_threshold=0.45, max_det=32,
+                      pre_topk=256, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got.valid).sum(axis=1),
+                                  np.asarray(ref.valid).sum(axis=1))
+    for b in range(len(tiles)):
+        rb = np.asarray(ref.boxes[b])[np.asarray(ref.valid[b])]
+        gb = np.asarray(got.boxes[b])[np.asarray(got.valid[b])]
+        for r in rb:
+            j = int(np.abs(gb[:, :2] - r[:2]).sum(axis=1).argmin())
+            assert np.all(np.abs(gb[j, :2] - r[:2]) < 1.5)
+
+
+def test_int8_rejects_unsupported_family():
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    v8 = create_model("yolov8n", dtype=jnp.float32)
+    with pytest.raises(NotImplementedError):
+        quantize_bundle(v8, [np.zeros((1, 64, 64, 3), np.uint8)])
+
+
+def test_int8_transcription_guard():
+    """The prepare pass cross-checks every conv's kernel shape against the
+    transcription's channel bookkeeping — a corrupted tree must raise, not
+    silently mis-slice."""
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.models.int8 import (
+        calibrate_absmax, quantize_bundle)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    absmax = calibrate_absmax(
+        bundle, [np.zeros((1, 96, 96, 3), np.uint8)], model_size=96)
+    bad = jax.tree_util.tree_map(lambda a: a, bundle.params)
+    k = bad["params"]["elan1"]["cv3"]["conv"]["kernel"]
+    bad["params"]["elan1"]["cv3"]["conv"]["kernel"] = k[:, :, :16, :]
+    bundle.params = bad
+    with pytest.raises(ValueError, match="elan1/cv3"):
+        quantize_bundle(bundle, [], absmax=absmax)
+
+
+def test_calibrate_cli_then_config_quantize(tmp_path, bundles):
+    """Turnkey int8 flow: CLI `calibrate` writes the scales JSON from a
+    GeoTIFF, then extra.quantize/quantize_calib builds a quantized step."""
+    import json
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline.cli import main as cli_main
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    # a mosaic of trained-scene tiles as the "representative imagery"
+    mosaic = np.concatenate(
+        [np.concatenate(list(tiles[i * 2:i * 2 + 2]), axis=1)
+         for i in range(2)], axis=0)                       # 192x192
+    gt_path = str(tmp_path / "calib.tif")
+    write_geotiff(gt_path, mosaic, (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+    calib_path = str(tmp_path / "absmax.json")
+    rc = cli_main(["calibrate", gt_path, "--model", "yolov7_itcvd",
+                   "--params", params_path, "--window", "96",
+                   "--out", calib_path])
+    assert rc == 0
+    rec = json.load(open(calib_path))
+    assert "elan1/cv1" in rec and "stem1" in rec
+
+    # build via config (fresh bundle from params_path)
+    cfg2 = DetectorConfig(confidence_threshold=0.4,
+                          params_path=params_path)
+    cfg2.extra["quantize"] = "int8"
+    cfg2.extra["quantize_calib"] = calib_path
+    step = build_detect_step(cfg2, batch=len(tiles), model_size=SIZE)
+    assert step.bundle.__class__.__name__ == "Int8Bundle"
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (len(tiles), 1))
+    det, lon, lat = step(jnp.asarray(tiles), bounds)
+    assert int(np.asarray(det.valid).sum()) >= 12
+
+
+def test_int8_in_fused_step(bundles):
+    """The Int8Bundle drops into build_detect_step (quad-stem layout picked
+    automatically) and the fused step produces the same detection set."""
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step, use_quad_stem)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    cfg = DetectorConfig(confidence_threshold=0.4, nms_iou_threshold=0.45)
+    assert use_quad_stem(qb, cfg, model_size=SIZE)
+    step_q = build_detect_step(cfg, batch=len(tiles), bundle=qb,
+                               model_size=SIZE)
+    step_f = build_detect_step(cfg, batch=len(tiles), bundle=bundle,
+                               model_size=SIZE)
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (len(tiles), 1))
+    det_q, lon_q, lat_q = step_q(jnp.asarray(tiles), bounds)
+    det_f, lon_f, lat_f = step_f(jnp.asarray(tiles), bounds)
+    nq = np.asarray(det_q.valid).sum(axis=1)
+    nf = np.asarray(det_f.valid).sum(axis=1)
+    np.testing.assert_array_equal(nq, nf)
+    # georef agreement on the matched detections: within ~2e-5 deg (~2 m)
+    for b in range(len(tiles)):
+        fq = np.stack([np.asarray(lon_q[b])[np.asarray(det_q.valid[b])],
+                       np.asarray(lat_q[b])[np.asarray(det_q.valid[b])]], 1)
+        ff = np.stack([np.asarray(lon_f[b])[np.asarray(det_f.valid[b])],
+                       np.asarray(lat_f[b])[np.asarray(det_f.valid[b])]], 1)
+        for r in ff:
+            j = int(np.abs(fq - r).sum(axis=1).argmin())
+            assert np.all(np.abs(fq[j] - r) < 2e-5)
