@@ -286,11 +286,91 @@ def _trunk_raw(params, p2_bf16):
     q = params["q"]
     p2q = jnp.clip(jnp.round(p2_bf16.astype(jnp.float32) / q["p2_scale"]),
                    -127, 127).astype(jnp.int8)
+    return _trunk_raw_from_i8(params, p2q)
+
+
+def _trunk_raw_from_i8(params, p2_i8):
+    q = params["q"]
     g = _Run(q["convs"])
-    o3, o4, o5 = _tiny_trunk(g, QT(p2q, 0.0, p2q.shape[-1]))
+    o3, o4, o5 = _tiny_trunk(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
     feats = [o.v.astype(jnp.float32) * sc
              for o, sc in zip((o3, o4, o5), q["out_scales"])]
     return _detect_heads(params["orig"], feats)
+
+
+def _quantize_stems(variables, absmax, bn_eps=1e-5):
+    """int8 lowering of the quad stems (ops/quadstem.py geometry).
+
+    The uint8 s2d² input shifts to int8 EXACTLY (x−128 ≡ x XOR 128,
+    bit-reinterpreted), so stem0's only quantization loss is its weights.
+    The shift makes lax.conv's zero padding represent pixel 128 instead of
+    the black pixels the f32 path pads with; the fix is a per-channel
+    border-correction built from partial kernel sums — with lo-side-only
+    ((1,0),(1,0)) cell padding there are exactly four cases
+    (interior / top row / left col / corner):
+        corr(y,x) = S − 1[y=0]·Sᵤ₀ − 1[x=0]·Sᵥ₀ + 1[y=0,x=0]·Sᵤ₀ᵥ₀
+    entering inside the leaky epilogue (already scaled by 128/(255·s₀)).
+    Stem1 pads int8 zeros ↔ activation 0.0 — exact under symmetric
+    quantization, like every trunk conv.
+    """
+    from aerial_image_recognition_tpu.ops.quadstem import (
+        fold_convbn, quad_kernel_transform, s2d_kernel_transform)
+    p, st = variables["params"], variables["batch_stats"]
+    w0, b0 = fold_convbn(p["stem0"], st["stem0"], eps=bn_eps)
+    w1, b1 = fold_convbn(p["stem1"], st["stem1"], eps=bn_eps)
+    w0q = np.asarray(quad_kernel_transform(w0), np.float32)  # [2,2,48,4c0]
+    w1q = np.asarray(s2d_kernel_transform(w1), np.float32)   # [2,2,4c0,c1]
+    b0q = np.tile(np.asarray(b0, np.float32), 4)
+    s0 = max(absmax["stem0"], 1e-12) / 127.0     # quad h ≡ relayout of it
+    p2s = max(absmax["stem1"], 1e-12) / 127.0
+
+    def _pcq(wf):
+        o = wf.shape[-1]
+        sw = np.maximum(np.abs(wf).reshape(-1, o).max(axis=0), 1e-12) / 127.0
+        return np.clip(np.round(wf / sw), -127, 127).astype(np.int8), sw
+
+    w08, sw0 = _pcq(w0q)
+    w18, sw1 = _pcq(w1q)
+    # partial sums of the FLOAT kernel over (u,v) tap subsets, channels in
+    k_sum = w0q.sum(axis=2)                       # [2,2,O]
+    S = k_sum.sum(axis=(0, 1))
+    Su0 = k_sum[0].sum(axis=0)
+    Sv0 = k_sum[:, 0].sum(axis=0)
+    Suv = k_sum[0, 0]
+    c = 128.0 / (255.0 * s0)
+    return {
+        "w0": jnp.asarray(w08),
+        "m0": jnp.asarray(sw0 / (255.0 * s0)),
+        "b0": jnp.asarray(b0q / s0),
+        "corr": jnp.asarray(np.stack([S, Su0, Sv0, Suv]) * c),
+        "w1": jnp.asarray(w18),
+        "m1": jnp.asarray(sw1 * s0 / p2s),
+        "b1": jnp.asarray(np.asarray(b1, np.float32) / p2s),
+    }
+
+
+def _stems_int8(q, xq):
+    """u8 s2d² batch [B,H/4,W/4,48] → P2 feature as int8 (trunk coding)."""
+    sq = q["stems"]
+    x8 = lax.bitcast_convert_type(xq ^ jnp.uint8(128), jnp.int8)
+
+    def conv2(v, w):
+        return lax.conv_general_dilated(
+            v, w, (1, 1), [(1, 0), (1, 0)], dimension_numbers=_DN,
+            preferred_element_type=jnp.int32)
+
+    _, h, w, _ = xq.shape
+    y0 = (jnp.arange(h) == 0).astype(jnp.float32)[:, None, None]
+    x0 = (jnp.arange(w) == 0).astype(jnp.float32)[None, :, None]
+    S, Su0, Sv0, Suv = (sq["corr"][i] for i in range(4))
+    corr = S - y0 * Su0 - x0 * Sv0 + (y0 * x0) * Suv
+    t = jax.nn.leaky_relu(
+        conv2(x8, sq["w0"]).astype(jnp.float32) * sq["m0"]
+        + corr + sq["b0"], 0.1)
+    h1 = jnp.clip(jnp.round(t), -127, 127).astype(jnp.int8)
+    t = jax.nn.leaky_relu(
+        conv2(h1, sq["w1"]).astype(jnp.float32) * sq["m1"] + sq["b1"], 0.1)
+    return jnp.clip(jnp.round(t), -127, 127).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------------------
@@ -319,12 +399,19 @@ class Int8Bundle:
 
     def forward_s2d2(self, params, xq, in_scale=1.0 / 255.0):
         from aerial_image_recognition_tpu.ops.decode import decode_yolov7
-        from aerial_image_recognition_tpu.ops.quadstem import (
-            quad_stem_forward)
-        p2 = quad_stem_forward(params["orig"], xq, act="leaky",
-                               in_scale=in_scale, dtype=self.module.dtype,
-                               stem_names=("stem0", "stem1"), bn_eps=1e-5)
-        outs = _trunk_raw(params, p2)
+        if (xq.dtype == jnp.uint8 and "stems" in params["q"]
+                and in_scale in (None, 1.0 / 255.0)):
+            # fully-int8 entry: the u8→i8 shift is exact, so the stems'
+            # only quantization loss is their weights (_quantize_stems)
+            outs = _trunk_raw_from_i8(params, _stems_int8(params["q"], xq))
+        else:
+            from aerial_image_recognition_tpu.ops.quadstem import (
+                quad_stem_forward)
+            p2 = quad_stem_forward(
+                params["orig"], xq, act="leaky", in_scale=in_scale,
+                dtype=self.module.dtype, stem_names=("stem0", "stem1"),
+                bn_eps=1e-5)
+            outs = _trunk_raw(params, p2)
         return decode_yolov7(outs, self.module.anchors,
                              self.spec.num_classes)
 
@@ -365,6 +452,7 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
         "p2_scale": jnp.float32(p2.s),
         "convs": prep.qparams,
         "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
+        "stems": _quantize_stems(bundle.params, absmax),
     }
     params = {"orig": bundle.params, "q": q}
     return Int8Bundle(spec=bundle.spec, module=bundle.module, params=params)

@@ -114,6 +114,40 @@ def test_int8_quad_path_matches_hwc(bundles):
             assert np.all(np.abs(gb[j, :2] - r[:2]) < 1.5)
 
 
+def test_int8_stems_exact_shift_and_border_correction(bundles):
+    """The fully-int8 stem entry: u8→i8 shift is exact (x−128 ≡ x XOR 128
+    reinterpreted), so the only loss vs the f32 quad stems is weight
+    quantization — P2 must agree within a few quant steps EVERYWHERE,
+    including row 0 / col 0 where lax.conv's zero padding represents pixel
+    128 and the border-correction constants must undo it."""
+    from aerial_image_recognition_tpu.models.int8 import (
+        _stems_int8, _quantize_stems, calibrate_absmax)
+    from aerial_image_recognition_tpu.ops.quadstem import (
+        host_s2d2, quad_stem_forward)
+    bundle, qb, tiles = bundles
+    img = tiles[:2]
+    xq = jnp.asarray(host_s2d2(img))
+    p2_f = quad_stem_forward(bundle.params, xq, act="leaky",
+                             dtype=jnp.float32, bn_eps=1e-5)
+    p2s = float(np.asarray(qb.params["q"]["p2_scale"]))
+    p2_q = np.asarray(_stems_int8(qb.params["q"], xq), np.float32) * p2s
+    err = np.abs(p2_q - np.asarray(p2_f, np.float32))
+    assert float(err.max()) < 4 * p2s, (float(err.max()), p2s)
+    # borders specifically (the correction's domain)
+    assert float(err[:, 0, :].max()) < 4 * p2s
+    assert float(err[:, :, 0].max()) < 4 * p2s
+    # and the correction is load-bearing: removing it must break row/col 0
+    import copy
+    broken = copy.deepcopy(jax.device_get(qb.params["q"]["stems"]))
+    broken = {k: jnp.asarray(v) for k, v in broken.items()}
+    broken["corr"] = broken["corr"] * 0.0
+    bad = dict(qb.params["q"])
+    bad = {**bad, "stems": broken}
+    p2_b = np.asarray(_stems_int8(bad, xq), np.float32) * p2s
+    err_b = np.abs(p2_b - np.asarray(p2_f, np.float32))
+    assert float(err_b[:, 0, :].max()) > 10 * p2s
+
+
 def test_int8_rejects_unsupported_family():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
