@@ -148,6 +148,36 @@ def test_int8_stems_exact_shift_and_border_correction(bundles):
     assert float(err_b[:, 0, :].max()) > 10 * p2s
 
 
+def test_int8_data_parallel_matches_single_device(bundles):
+    """Compose the two flagship paths: the int8 step under the 8-device
+    data-parallel shard_map must reproduce the single-device int8 step
+    exactly (int8 convs are plain XLA ops — GSPMD-visible, unlike the
+    Pallas NMS tail which shard_map runs per-shard by construction)."""
+    from aerial_image_recognition_tpu.parallel.mesh import make_mesh
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    mesh = make_mesh()
+    n = mesh.shape["data"]
+    batch = (len(tiles) // n + (len(tiles) % n > 0)) * n
+    imgs = np.concatenate([tiles, tiles[:batch - len(tiles)]])
+    cfg = DetectorConfig(confidence_threshold=0.4)
+    step_1 = build_detect_step(cfg, batch=batch, bundle=qb, model_size=SIZE)
+    step_n = build_detect_step(cfg, batch=batch, bundle=qb, model_size=SIZE,
+                               mesh=mesh)
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (batch, 1))
+    det_1, lon_1, lat_1 = step_1(jnp.asarray(imgs), bounds)
+    det_n, lon_n, lat_n = step_n(jnp.asarray(imgs), bounds)
+    np.testing.assert_array_equal(np.asarray(det_n.valid),
+                                  np.asarray(det_1.valid))
+    np.testing.assert_allclose(np.asarray(lon_n), np.asarray(lon_1),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(det_n.scores),
+                               np.asarray(det_1.scores), rtol=1e-6)
+
+
 def test_int8_rejects_unsupported_family():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
