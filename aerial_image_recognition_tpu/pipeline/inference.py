@@ -245,8 +245,14 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                                           NamedSharding(mesh, P())))
         bsh = NamedSharding(mesh, P(mesh_axis))
         input_shardings = (bsh, bsh)
+    # input_size: what the ingest plane should hand the step. A model_size
+    # override (tiny dry runs, reduced-resolution scans) moves the expected
+    # tile edge too — leaving it at the spec's 640 made ingest silently
+    # UPSCALE small tiles into the step (caught by
+    # tests/test_int8.py::test_int8_full_city_scan)
     step = DetectStep(bundle=bundle, fn=fn, batch=eff_batch,
-                      input_size=src_size or bundle.spec.input_size,
+                      input_size=src_size or model_size
+                      or bundle.spec.input_size,
                       input_shardings=input_shardings,
                       input_layout="s2d2" if quad else "hwc")
     step.model_size = model_size or bundle.spec.input_size

@@ -178,6 +178,72 @@ def test_int8_data_parallel_matches_single_device(bundles):
                                np.asarray(det_1.scores), rtol=1e-6)
 
 
+def test_int8_full_city_scan(tmp_path, bundles):
+    """End-to-end L5 composition: a full CarDetector scan (fetch → mosaic →
+    int8 fused step → georef → dedup → GeoJSON) with the quantized model
+    must find the same cars the bf16 scan does
+    (test_detection_quality.py's bar: recall@3m ≥ 0.8, precision ≥ 0.7)."""
+    from aerial_image_recognition_tpu.fetch.fake import (
+        FakeTileServer, FakeWorld)
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    from aerial_image_recognition_tpu.gio.geojson import (
+        read_geojson, write_geojson)
+    from aerial_image_recognition_tpu.pipeline.detector import CarDetector
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=400, seed=4)
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    srv = FakeTileServer(world)
+    srv.start()
+    try:
+        cfg = DetectorConfig(confidence_threshold=0.4,
+                             nms_iou_threshold=0.45, duplicate_distance=2.0)
+        step = build_detect_step(cfg, batch=16, bundle=qb, model_size=SIZE)
+        half_lon, half_lat = 95 * m2lon, 65 * m2lat
+        ring = [[21.0 - half_lon, 52.2 - half_lat],
+                [21.0 + half_lon, 52.2 - half_lat],
+                [21.0 + half_lon, 52.2 + half_lat],
+                [21.0 - half_lon, 52.2 + half_lat],
+                [21.0 - half_lon, 52.2 - half_lat]]
+        frame = str(tmp_path / "aoi.geojson")
+        write_geojson({"type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": [ring]}}]},
+            frame)
+        fetcher = WMSFetcher(srv.base_url + "/wms", layer="fake",
+                             size=(SIZE, SIZE), num_workers=8,
+                             submit_spacing=0.0)
+        det = CarDetector(str(tmp_path), {
+            "frame_path": frame, "tile_size_meters": 48.0,
+            "tile_overlap": 0.25, "confidence_threshold": 0.4,
+            "duplicate_distance": 2.0, "batch_size": 32,
+            "device_batch": 16, "checkpoint_interval": 10**9,
+        }, fetcher=fetcher, detect_step=step)
+        det.detect(force_restart=True)
+        fetcher.close()
+        doc = read_geojson(os.path.join(str(tmp_path), "output",
+                                        "detections_results.geojson"))
+        found = np.array([f["geometry"]["coordinates"]
+                          for f in doc["features"]], np.float64)
+        assert len(found) > 0
+        cars = world.cars
+        inside = ((np.abs(cars[:, 0] - 21.0) < half_lon - 5 * m2lon)
+                  & (np.abs(cars[:, 1] - 52.2) < half_lat - 5 * m2lat))
+        t_m = np.stack([(cars[inside][:, 0] - 21.0) / m2lon,
+                        (cars[inside][:, 1] - 52.2) / m2lat], 1)
+        f_m = np.stack([(found[:, 0] - 21.0) / m2lon,
+                        (found[:, 1] - 52.2) / m2lat], 1)
+        d = np.sqrt(((t_m[:, None] - f_m[None]) ** 2).sum(-1))
+        assert float((d.min(axis=1) < 3.0).mean()) >= 0.8
+        assert float((d.min(axis=0) < 3.0).mean()) >= 0.7
+    finally:
+        srv.stop()
+
+
 def test_int8_rejects_unsupported_family():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
