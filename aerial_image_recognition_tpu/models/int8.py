@@ -81,6 +81,14 @@ def calibrate_absmax(bundle, batches: Sequence[Any],
     return absmax
 
 
+def _pcq(wf: np.ndarray):
+    """Per-output-channel symmetric int8 weight quantization (shared by the
+    trunk prepare pass and the stem lowering — one scheme, one place)."""
+    o = wf.shape[-1]
+    sw = np.maximum(np.abs(wf).reshape(-1, o).max(axis=0), 1e-12) / 127.0
+    return np.clip(np.round(wf / sw), -127, 127).astype(np.int8), sw
+
+
 # ---------------------------------------------------------------------------
 # the shared trunk graph (single transcription, two interpreters)
 
@@ -189,8 +197,7 @@ class _Prepare:
             wf[:, :, off:off + p.c, :] *= p.s
             off += p.c
         o = k.shape[3]
-        sw = np.maximum(np.abs(wf).reshape(-1, o).max(axis=0), 1e-12) / 127.0
-        w8 = np.clip(np.round(wf / sw), -127, 127).astype(np.int8)
+        w8, sw = _pcq(wf)
         if name not in self.absmax:
             raise KeyError(f"no calibration record for {name}")
         s_out = max(self.absmax[name], 1e-12) / 127.0
@@ -323,12 +330,6 @@ def _quantize_stems(variables, absmax, bn_eps=1e-5):
     b0q = np.tile(np.asarray(b0, np.float32), 4)
     s0 = max(absmax["stem0"], 1e-12) / 127.0     # quad h ≡ relayout of it
     p2s = max(absmax["stem1"], 1e-12) / 127.0
-
-    def _pcq(wf):
-        o = wf.shape[-1]
-        sw = np.maximum(np.abs(wf).reshape(-1, o).max(axis=0), 1e-12) / 127.0
-        return np.clip(np.round(wf / sw), -127, 127).astype(np.int8), sw
-
     w08, sw0 = _pcq(w0q)
     w18, sw1 = _pcq(w1q)
     # partial sums of the FLOAT kernel over (u,v) tap subsets, channels in
@@ -440,9 +441,12 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
     in [0,1]). Pass absmax= to reuse a saved calibration instead.
     """
     if not (bundle.spec.family == "yolov7"
-            and getattr(bundle.module, "variant", "") == "tiny"):
-        raise NotImplementedError("int8 PTQ covers yolov7-tiny (flagship); "
-                                  "other families keep bf16")
+            and getattr(bundle.module, "variant", "") == "tiny"
+            and not getattr(bundle.module, "s2d_stem", False)):
+        raise NotImplementedError(
+            "int8 PTQ covers yolov7-tiny with the standard stems "
+            "(flagship); other families / the s2d_stem experiment keep "
+            "bf16")
     if absmax is None:
         absmax = calibrate_absmax(bundle, calib_batches, model_size)
     prep = _Prepare(bundle.params, absmax, bn_eps=1e-5)

@@ -176,10 +176,15 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     top_cls = jnp.take_along_axis(cls, idx, axis=1)
 
+    if suppression not in ("fixpoint", "scan", "pallas"):
+        raise ValueError(f"unknown nms suppression {suppression!r} "
+                         "(expected 'pallas', 'scan' or 'fixpoint')")
     if suppression == "fixpoint":
+        # threshold in scores.dtype, matching the scan path's cast — keeps
+        # the bit-identical-picks guarantee for bf16 direct callers too
         return _nms_fixpoint(top_boxes, top_scores, top_cls, conf,
-                             iou_threshold, max_det,
-                             class_aware and num_classes > 1)
+                             jnp.asarray(iou_threshold, dtype=scores.dtype),
+                             max_det, class_aware and num_classes > 1)
     if suppression == "scan" or not use_pallas:
         iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
         return jax.vmap(

@@ -168,6 +168,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pq.add_argument("--params")
     pq.add_argument("--window", type=int, default=640)
     pq.add_argument("--max-windows", type=int, default=64)
+    pq.add_argument("--model-size", type=int, default=None,
+                    help="calibration resolution (defaults to --window — "
+                         "activation scales are resolution-dependent, so "
+                         "match the deployment model_size)")
     pq.add_argument("--out", required=True, help="output calibration JSON")
 
     args = parser.parse_args(argv)
@@ -187,10 +191,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         h, w = gt.data.shape[:2]
         corners = list(iter_windows(h, w, args.window, args.window))
         corners = corners[:args.max_windows]
-        batch = np.stack([_extract(gt.data, r, c, args.window)
-                          for r, c in corners])
-        absmax = calibrate_absmax(bundle, [batch],
-                                  model_size=bundle.spec.input_size)
+        # chunked batches (absmax is a running max) — one capture-all
+        # forward over 64 full-res windows would hold every intermediate
+        # activation at once
+        batches = [np.stack([_extract(gt.data, r, c, args.window)
+                             for r, c in corners[i:i + 8]])
+                   for i in range(0, len(corners), 8)]
+        absmax = calibrate_absmax(bundle, batches,
+                                  model_size=args.model_size or args.window)
         save_absmax(args.out, absmax)
         print(json.dumps({"out": args.out, "model": args.model,
                           "windows": len(corners),

@@ -49,7 +49,7 @@ def bundles():
     return bundle, qb, tiles
 
 
-def _detect(bundle, params, x, suppression=None):
+def _detect(bundle, params, x):
     from aerial_image_recognition_tpu.ops.nms import batched_nms
     boxes, scores = bundle.forward(params, x)
     return batched_nms(boxes.astype(jnp.float32), scores.astype(jnp.float32),
@@ -250,6 +250,15 @@ def test_int8_rejects_unsupported_family():
     v8 = create_model("yolov8n", dtype=jnp.float32)
     with pytest.raises(NotImplementedError):
         quantize_bundle(v8, [np.zeros((1, 64, 64, 3), np.uint8)])
+    # the s2d_stem experiment changes the stem parameter geometry — must
+    # be rejected up front, not fail deep in the kernel transforms
+    from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
+    from dataclasses import replace as dc_replace
+    tiny = create_model("yolov7_itcvd", dtype=jnp.float32)
+    s2d = dc_replace(tiny, module=YOLOv7(num_classes=1, variant="tiny",
+                                         dtype=jnp.float32, s2d_stem=True))
+    with pytest.raises(NotImplementedError):
+        quantize_bundle(s2d, [np.zeros((1, 64, 64, 3), np.uint8)])
 
 
 def test_int8_transcription_guard():

@@ -177,3 +177,11 @@ def test_fixpoint_empty_input():
                       max_det=16, pre_topk=64, suppression="fixpoint")
     assert int(det.valid.sum()) == 0
     assert int((det.classes == -1).sum()) == 2 * 16
+
+
+def test_unknown_suppression_rejected():
+    boxes = jnp.zeros((1, 8, 4), jnp.float32)
+    scores = jnp.zeros((1, 8, 1), jnp.float32)
+    with pytest.raises(ValueError, match="unknown nms suppression"):
+        batched_nms(boxes, scores, num_classes=1, conf_threshold=0.3,
+                    max_det=4, pre_topk=8, suppression="fixpont")
