@@ -162,17 +162,26 @@ class _Prepare:
     applied to this second transcription)."""
 
     def __init__(self, variables, absmax: Dict[str, float],
-                 bn_eps: float = 1e-5):
+                 bn_eps: float = 1e-5, act: str = "leaky"):
         self.p = variables["params"]
         self.stats = variables["batch_stats"]
         self.absmax = absmax
         self.bn_eps = bn_eps
+        self.act = act
         self.qparams: Dict[str, Any] = {}
+        # static per-tensor coding scales, keyed like qparams — _Run needs
+        # them as python constants (residual adds, head dequant)
+        self.scales: Dict[str, float] = {}
 
     def _node(self, tree, name):
         for part in name.split("/"):
             tree = tree[part]
         return tree
+
+    def _s_out(self, name):
+        if name not in self.absmax:
+            raise KeyError(f"no calibration record for {name}")
+        return max(self.absmax[name], 1e-12) / 127.0
 
     def conv(self, name, x, kernel, stride=1):
         parts = x if isinstance(x, list) else [x]
@@ -198,15 +207,34 @@ class _Prepare:
             off += p.c
         o = k.shape[3]
         w8, sw = _pcq(wf)
-        if name not in self.absmax:
-            raise KeyError(f"no calibration record for {name}")
-        s_out = max(self.absmax[name], 1e-12) / 127.0
-        self.qparams[name] = {
-            "w8": jnp.asarray(w8),
-            "m": jnp.asarray((sw / s_out).astype(np.float32)),
-            "b": jnp.asarray((bf / s_out).astype(np.float32)),
-        }
+        s_out = self._s_out(name)
+        if self.act == "leaky":
+            # leaky(a·t) = a·leaky(t), a>0 ⇒ fold 1/s_out into m and b
+            qp = {"w8": jnp.asarray(w8),
+                  "m": jnp.asarray((sw / s_out).astype(np.float32)),
+                  "b": jnp.asarray((bf / s_out).astype(np.float32))}
+        else:
+            # silu is not homogeneous: requant divide stays a separate
+            # (still fused) multiply after the activation
+            qp = {"w8": jnp.asarray(w8),
+                  "m": jnp.asarray(sw.astype(np.float32)),
+                  "b": jnp.asarray(bf.astype(np.float32)),
+                  "inv": jnp.float32(1.0 / s_out)}
+        self.qparams[name] = qp
+        self.scales[name] = s_out
         return QT(None, s_out, o)
+
+    def add(self, key, y, x):
+        """Residual add (v8 Bottleneck): output coded at the calibrated
+        scale of the enclosing module's output."""
+        assert y.c == x.c, (key, y.c, x.c)
+        s = self._s_out(key)
+        self.scales[key] = s
+        return QT(None, s, y.c)
+
+    def split2(self, x):
+        assert x.c % 2 == 0
+        return QT(None, x.s, x.c // 2), QT(None, x.s, x.c // 2)
 
     def pool2(self, x):
         return x          # value-preserving ⇒ scale/channels unchanged
@@ -219,10 +247,16 @@ class _Prepare:
 
 
 class _Run:
-    """Executes the trunk graph on int8 arrays with prepared qparams."""
+    """Executes the trunk graph on int8 arrays with prepared qparams.
 
-    def __init__(self, qparams):
+    QT.s stays populated (scales are static per quantized bundle — they
+    bake into the jitted graph as constants, e.g. in the residual add)."""
+
+    def __init__(self, qparams, act: str = "leaky",
+                 scales: Optional[Dict[str, float]] = None):
         self.q = qparams
+        self.act = act
+        self.scales = scales or {}
 
     def conv(self, name, x, kernel, stride=1):
         parts = x if isinstance(x, list) else [x]
@@ -233,12 +267,23 @@ class _Run:
         r = lax.conv_general_dilated(
             v, qp["w8"], (stride, stride), ((pad, pad), (pad, pad)),
             dimension_numbers=_DN, preferred_element_type=jnp.int32)
-        # leaky(a·t) = a·leaky(t) for a>0 ⇒ the 1/s_out requant is already
-        # inside m and b; one fused elementwise epilogue, int8 out
-        y = jax.nn.leaky_relu(
-            r.astype(jnp.float32) * qp["m"] + qp["b"], 0.1)
+        t = r.astype(jnp.float32) * qp["m"] + qp["b"]
+        if self.act == "leaky":
+            y = jax.nn.leaky_relu(t, 0.1)       # 1/s_out folded into m, b
+        else:
+            y = jax.nn.silu(t) * qp["inv"]
         out = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
-        return QT(out, 0.0, out.shape[-1])
+        return QT(out, self.scales.get(name, 0.0), out.shape[-1])
+
+    def add(self, key, y, x):
+        s_m = self.scales[key]
+        t = (y.v.astype(jnp.float32) * y.s + x.v.astype(jnp.float32) * x.s)
+        out = jnp.clip(jnp.round(t / s_m), -127, 127).astype(jnp.int8)
+        return QT(out, s_m, y.c)
+
+    def split2(self, x):
+        a, b = jnp.split(x.v, 2, axis=-1)
+        return QT(a, x.s, a.shape[-1]), QT(b, x.s, b.shape[-1])
 
     def pool2(self, x):
         from flax import linen as nn
@@ -256,15 +301,101 @@ class _Run:
 
 
 # ---------------------------------------------------------------------------
+# the yolov8 trunk graph (mirror of models/yolov8.YOLOv8.__call__, silu)
+
+
+def _c2f(g, prefix: str, x, n: int, shortcut: bool):
+    """C2f (models/yolov8.py:61-78): split cv1 in two, n chained e=1.0
+    bottlenecks tapping the running tail, concat all, cv2."""
+    y = g.conv(f"{prefix}/cv1", x, 1)
+    y1, y2 = g.split2(y)
+    ys = [y1, y2]
+    for i in range(n):
+        m = g.conv(f"{prefix}/m{i}/cv1", ys[-1], 3)
+        m = g.conv(f"{prefix}/m{i}/cv2", m, 3)
+        if shortcut:                      # e=1.0 ⇒ channels always match
+            m = g.add(f"{prefix}/m{i}", m, ys[-1])
+        ys.append(m)
+    return g.conv(f"{prefix}/cv2", ys, 1)
+
+
+def _sppf(g, prefix: str, x):
+    y = g.conv(f"{prefix}/cv1", x, 1)
+    p1 = g.pool5(y)
+    p2 = g.pool5(p1)
+    p3 = g.pool5(p2)
+    return g.conv(f"{prefix}/cv2", [y, p1, p2, p3], 1)
+
+
+def _v8_trunk(g, x, depth: float):
+    """Mirror of YOLOv8.__call__ from the P2 feature to the three head
+    taps' ConvBN towers (models/yolov8.py:145-168). Returns per-level
+    (box_feat, cls_feat) QTs ready for the f32 output convs."""
+    from aerial_image_recognition_tpu.models.yolov8 import _n
+    x = _c2f(g, "c2f1", x, _n(3, depth), True)
+    x = g.conv("down3", x, 3, stride=2)                       # P3/8
+    p3 = _c2f(g, "c2f2", x, _n(6, depth), True)
+    x = g.conv("down4", p3, 3, stride=2)                      # P4/16
+    p4 = _c2f(g, "c2f3", x, _n(6, depth), True)
+    x = g.conv("down5", p4, 3, stride=2)                      # P5/32
+    x = _c2f(g, "c2f4", x, _n(3, depth), True)
+    p5 = _sppf(g, "sppf", x)
+
+    f4 = _c2f(g, "fpn4", [g.up2(p5), p4], _n(3, depth), False)
+    f3 = _c2f(g, "fpn3", [g.up2(f4), p3], _n(3, depth), False)
+    x = g.conv("pan_down4", f3, 3, stride=2)
+    f4b = _c2f(g, "pan4", [x, f4], _n(3, depth), False)
+    x = g.conv("pan_down5", f4b, 3, stride=2)
+    f5b = _c2f(g, "pan5", [x, p5], _n(3, depth), False)
+
+    outs = []
+    for i, f in enumerate((f3, f4b, f5b)):
+        b = g.conv(f"detect/box{i}_cv1", f, 3)
+        b = g.conv(f"detect/box{i}_cv2", b, 3)
+        c = g.conv(f"detect/cls{i}_cv1", f, 3)
+        c = g.conv(f"detect/cls{i}_cv2", c, 3)
+        outs.append((b, c))
+    return outs
+
+
+def _v8_raw_from_i8(params, p2_i8, depth: float, scales: Dict[str, float]):
+    """int8 v8 trunk + f32 head output convs → raw per-level maps.
+
+    scales: the prepare pass's static per-tensor coding scales — passed
+    OUTSIDE the params pytree so they stay python constants under jit
+    (the residual adds and head dequants bake them into the graph)."""
+    q = params["q"]
+    g = _Run(q["convs"], act="silu", scales=scales)
+    pairs = _v8_trunk(g, QT(p2_i8, scales["__p2__"], p2_i8.shape[-1]),
+                      depth)
+    det = params["orig"]["params"]["detect"]
+    outs = []
+    for i, (b, c) in enumerate(pairs):
+        bo = lax.conv_general_dilated(
+            b.v.astype(jnp.float32) * b.s,
+            jnp.asarray(det[f"box{i}_out"]["kernel"], jnp.float32), (1, 1),
+            ((0, 0), (0, 0)), dimension_numbers=_DN) \
+            + det[f"box{i}_out"]["bias"]
+        co = lax.conv_general_dilated(
+            c.v.astype(jnp.float32) * c.s,
+            jnp.asarray(det[f"cls{i}_out"]["kernel"], jnp.float32), (1, 1),
+            ((0, 0), (0, 0)), dimension_numbers=_DN) \
+            + det[f"cls{i}_out"]["bias"]
+        outs.append(jnp.concatenate([bo, co], axis=-1))
+    return outs
+
+
+# ---------------------------------------------------------------------------
 # stems (bf16) + head (f32) around the int8 trunk
 
 
-def _stems_bf16(variables, x, dtype=jnp.bfloat16, bn_eps=1e-5):
+def _stems_bf16(variables, x, dtype=jnp.bfloat16, bn_eps=1e-5,
+                stem_names=("stem0", "stem1"), act="leaky"):
     """The two stride-2 stem ConvBNs, eagerly mirrored from ConvBN
-    (models/layers.py:125-153: conv pad k//2 → inference BN → leaky)."""
+    (models/layers.py:125-153: conv pad k//2 → inference BN → act)."""
     p, s = variables["params"], variables["batch_stats"]
     x = x.astype(dtype)
-    for nm in ("stem0", "stem1"):
+    for nm in stem_names:
         k = jnp.asarray(p[nm]["conv"]["kernel"], dtype)
         x = lax.conv_general_dilated(x, k, (2, 2), ((1, 1), (1, 1)),
                                      dimension_numbers=_DN)
@@ -272,7 +403,7 @@ def _stems_bf16(variables, x, dtype=jnp.bfloat16, bn_eps=1e-5):
              * lax.rsqrt(s[nm]["bn"]["var"] + bn_eps)).astype(dtype)
         x = (x - s[nm]["bn"]["mean"].astype(dtype)) * g \
             + p[nm]["bn"]["bias"].astype(dtype)
-        x = jax.nn.leaky_relu(x, 0.1)
+        x = jax.nn.leaky_relu(x, 0.1) if act == "leaky" else jax.nn.silu(x)
     return x
 
 
@@ -305,7 +436,8 @@ def _trunk_raw_from_i8(params, p2_i8):
     return _detect_heads(params["orig"], feats)
 
 
-def _quantize_stems(variables, absmax, bn_eps=1e-5):
+def _quantize_stems(variables, absmax, bn_eps=1e-5,
+                    stem_names=("stem0", "stem1"), act="leaky"):
     """int8 lowering of the quad stems (ops/quadstem.py geometry).
 
     The uint8 s2d² input shifts to int8 EXACTLY (x−128 ≡ x XOR 128,
@@ -323,13 +455,14 @@ def _quantize_stems(variables, absmax, bn_eps=1e-5):
     from aerial_image_recognition_tpu.ops.quadstem import (
         fold_convbn, quad_kernel_transform, s2d_kernel_transform)
     p, st = variables["params"], variables["batch_stats"]
-    w0, b0 = fold_convbn(p["stem0"], st["stem0"], eps=bn_eps)
-    w1, b1 = fold_convbn(p["stem1"], st["stem1"], eps=bn_eps)
+    n0, n1 = stem_names
+    w0, b0 = fold_convbn(p[n0], st[n0], eps=bn_eps)
+    w1, b1 = fold_convbn(p[n1], st[n1], eps=bn_eps)
     w0q = np.asarray(quad_kernel_transform(w0), np.float32)  # [2,2,48,4c0]
     w1q = np.asarray(s2d_kernel_transform(w1), np.float32)   # [2,2,4c0,c1]
     b0q = np.tile(np.asarray(b0, np.float32), 4)
-    s0 = max(absmax["stem0"], 1e-12) / 127.0     # quad h ≡ relayout of it
-    p2s = max(absmax["stem1"], 1e-12) / 127.0
+    s0 = max(absmax[n0], 1e-12) / 127.0          # quad h ≡ relayout of it
+    p2s = max(absmax[n1], 1e-12) / 127.0
     w08, sw0 = _pcq(w0q)
     w18, sw1 = _pcq(w1q)
     # partial sums of the FLOAT kernel over (u,v) tap subsets, channels in
@@ -338,19 +471,34 @@ def _quantize_stems(variables, absmax, bn_eps=1e-5):
     Su0 = k_sum[0].sum(axis=0)
     Sv0 = k_sum[:, 0].sum(axis=0)
     Suv = k_sum[0, 0]
-    c = 128.0 / (255.0 * s0)
+    if act == "leaky":
+        # homogeneity folds the requant divides into every constant
+        return {
+            "w0": jnp.asarray(w08),
+            "m0": jnp.asarray(sw0 / (255.0 * s0)),
+            "b0": jnp.asarray(b0q / s0),
+            "corr": jnp.asarray(np.stack([S, Su0, Sv0, Suv])
+                                * (128.0 / (255.0 * s0))),
+            "w1": jnp.asarray(w18),
+            "m1": jnp.asarray(sw1 * s0 / p2s),
+            "b1": jnp.asarray(np.asarray(b1, np.float32) / p2s),
+        }
+    # silu: epilogue constants stay in activation units; requant divides
+    # are separate (still fused) multiplies
     return {
         "w0": jnp.asarray(w08),
-        "m0": jnp.asarray(sw0 / (255.0 * s0)),
-        "b0": jnp.asarray(b0q / s0),
-        "corr": jnp.asarray(np.stack([S, Su0, Sv0, Suv]) * c),
+        "m0": jnp.asarray(sw0 / 255.0),
+        "b0": jnp.asarray(b0q),
+        "corr": jnp.asarray(np.stack([S, Su0, Sv0, Suv]) * (128.0 / 255.0)),
+        "inv0": jnp.float32(1.0 / s0),
         "w1": jnp.asarray(w18),
-        "m1": jnp.asarray(sw1 * s0 / p2s),
-        "b1": jnp.asarray(np.asarray(b1, np.float32) / p2s),
+        "m1": jnp.asarray(sw1 * s0),
+        "b1": jnp.asarray(np.asarray(b1, np.float32)),
+        "inv1": jnp.float32(1.0 / p2s),
     }
 
 
-def _stems_int8(q, xq):
+def _stems_int8(q, xq, act="leaky"):
     """u8 s2d² batch [B,H/4,W/4,48] → P2 feature as int8 (trunk coding)."""
     sq = q["stems"]
     x8 = lax.bitcast_convert_type(xq ^ jnp.uint8(128), jnp.int8)
@@ -360,18 +508,22 @@ def _stems_int8(q, xq):
             v, w, (1, 1), [(1, 0), (1, 0)], dimension_numbers=_DN,
             preferred_element_type=jnp.int32)
 
+    def act_req(t, inv_key):
+        if act == "leaky":
+            y = jax.nn.leaky_relu(t, 0.1)       # requant folded in consts
+        else:
+            y = jax.nn.silu(t) * sq[inv_key]
+        return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
     _, h, w, _ = xq.shape
     y0 = (jnp.arange(h) == 0).astype(jnp.float32)[:, None, None]
     x0 = (jnp.arange(w) == 0).astype(jnp.float32)[None, :, None]
     S, Su0, Sv0, Suv = (sq["corr"][i] for i in range(4))
     corr = S - y0 * Su0 - x0 * Sv0 + (y0 * x0) * Suv
-    t = jax.nn.leaky_relu(
-        conv2(x8, sq["w0"]).astype(jnp.float32) * sq["m0"]
-        + corr + sq["b0"], 0.1)
-    h1 = jnp.clip(jnp.round(t), -127, 127).astype(jnp.int8)
-    t = jax.nn.leaky_relu(
-        conv2(h1, sq["w1"]).astype(jnp.float32) * sq["m1"] + sq["b1"], 0.1)
-    return jnp.clip(jnp.round(t), -127, 127).astype(jnp.int8)
+    h1 = act_req(conv2(x8, sq["w0"]).astype(jnp.float32) * sq["m0"]
+                 + corr + sq["b0"], "inv0")
+    return act_req(conv2(h1, sq["w1"]).astype(jnp.float32) * sq["m1"]
+                   + sq["b1"], "inv1")
 
 
 # ---------------------------------------------------------------------------
@@ -381,40 +533,71 @@ def _stems_int8(q, xq):
 @dataclass
 class Int8Bundle:
     """Drop-in for models.registry.ModelBundle (same forward contracts) with
-    the yolov7-tiny trunk quantized. params = {"orig": variables,
-    "q": {"p2_scale", "convs": {name: {w8,m,b}}, "out_scales"}} — one pytree
-    so jit / shard_map / device_put treat it like any other param tree."""
+    the detector trunk quantized (yolov7-tiny or yolov8 n–x).
+    params = {"orig": variables, "q": {... int8 kernels + epilogue
+    arrays ...}} — one pytree so jit / shard_map / device_put treat it like
+    any other param tree. static_scales stays OUTSIDE the pytree (python
+    floats baked into the traced graph)."""
     spec: Any
     module: Any
     params: Any
+    static_scales: Any = None
 
     def supports_s2d2(self) -> bool:
-        return True      # yolov7-tiny standard stems by construction
+        return True      # both families' standard stems, by construction
 
-    def forward(self, params, images):
-        from aerial_image_recognition_tpu.ops.decode import decode_yolov7
-        p2 = _stems_bf16(params["orig"], images, dtype=self.module.dtype)
-        outs = _trunk_raw(params, p2)
+    def _p2_quantize(self, p2):
+        q = self.params["q"]   # p2_scale is an array — fine, multiply only
+        return jnp.clip(jnp.round(p2.astype(jnp.float32) / q["p2_scale"]),
+                        -127, 127).astype(jnp.int8)
+
+    def _raw_from_p2_i8(self, params, p2_i8):
+        if self.spec.family == "yolov8":
+            from aerial_image_recognition_tpu.models.yolov8 import SCALES
+            depth = SCALES[self.module.scale][0]
+            return _v8_raw_from_i8(params, p2_i8, depth, self.static_scales)
+        return _trunk_raw_from_i8(params, p2_i8)
+
+    def _decode(self, outs):
+        from aerial_image_recognition_tpu.ops.decode import (
+            decode_yolov7, decode_yolov8)
+        if self.spec.family == "yolov8":
+            return decode_yolov8(outs, self.spec.num_classes)
         return decode_yolov7(outs, self.module.anchors,
                              self.spec.num_classes)
 
+    def forward(self, params, images):
+        meta = _family_meta(self.spec, self.module)
+        p2 = _stems_bf16(params["orig"], images, dtype=self.module.dtype,
+                         bn_eps=meta["bn_eps"], stem_names=meta["stems"],
+                         act=meta["act"])
+        return self._decode(self._raw_from_p2_i8(
+            params, self._p2_quantize(p2)))
+
     def forward_s2d2(self, params, xq, in_scale=1.0 / 255.0):
-        from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+        meta = _family_meta(self.spec, self.module)
         if (xq.dtype == jnp.uint8 and "stems" in params["q"]
                 and in_scale in (None, 1.0 / 255.0)):
             # fully-int8 entry: the u8→i8 shift is exact, so the stems'
             # only quantization loss is their weights (_quantize_stems)
-            outs = _trunk_raw_from_i8(params, _stems_int8(params["q"], xq))
+            p2_i8 = _stems_int8(params["q"], xq, act=meta["act"])
         else:
             from aerial_image_recognition_tpu.ops.quadstem import (
                 quad_stem_forward)
             p2 = quad_stem_forward(
-                params["orig"], xq, act="leaky", in_scale=in_scale,
-                dtype=self.module.dtype, stem_names=("stem0", "stem1"),
-                bn_eps=1e-5)
-            outs = _trunk_raw(params, p2)
-        return decode_yolov7(outs, self.module.anchors,
-                             self.spec.num_classes)
+                params["orig"], xq, act=meta["act"], in_scale=in_scale,
+                dtype=self.module.dtype, stem_names=meta["stems"],
+                bn_eps=meta["bn_eps"])
+            p2_i8 = self._p2_quantize(p2)
+        return self._decode(self._raw_from_p2_i8(params, p2_i8))
+
+
+def _family_meta(spec, module):
+    """Stem scopes / activation / BN eps per family (mirrors
+    models.registry.ModelBundle._s2d2_meta)."""
+    if spec.family == "yolov8":
+        return {"stems": ("stem", "down2"), "act": "silu", "bn_eps": 1e-3}
+    return {"stems": ("stem0", "stem1"), "act": "leaky", "bn_eps": 1e-5}
 
 
 def save_absmax(path: str, absmax: Dict[str, float]) -> None:
@@ -435,28 +618,45 @@ def load_absmax(path: str) -> Dict[str, float]:
 def quantize_bundle(bundle, calib_batches: Sequence[Any],
                     model_size: Optional[int] = None,
                     absmax: Optional[Dict[str, float]] = None) -> Int8Bundle:
-    """Calibrate + quantize a yolov7-tiny ModelBundle into an Int8Bundle.
+    """Calibrate + quantize a detector ModelBundle into an Int8Bundle
+    (yolov7-tiny with standard stems, or any yolov8 scale).
 
     calib_batches: a few representative uint8 [B,S,S,3] batches (or floats
     in [0,1]). Pass absmax= to reuse a saved calibration instead.
     """
-    if not (bundle.spec.family == "yolov7"
-            and getattr(bundle.module, "variant", "") == "tiny"
-            and not getattr(bundle.module, "s2d_stem", False)):
+    is_v7 = (bundle.spec.family == "yolov7"
+             and getattr(bundle.module, "variant", "") == "tiny"
+             and not getattr(bundle.module, "s2d_stem", False))
+    is_v8 = bundle.spec.family == "yolov8"
+    if not (is_v7 or is_v8):
         raise NotImplementedError(
-            "int8 PTQ covers yolov7-tiny with the standard stems "
-            "(flagship); other families / the s2d_stem experiment keep "
-            "bf16")
+            "int8 PTQ covers yolov7-tiny with the standard stems and "
+            "yolov8 n–x; other models / the s2d_stem experiment keep bf16")
     if absmax is None:
         absmax = calibrate_absmax(bundle, calib_batches, model_size)
-    prep = _Prepare(bundle.params, absmax, bn_eps=1e-5)
-    p2 = QT(None, max(absmax["stem1"], 1e-12) / 127.0, 64)
-    o3, o4, o5 = _tiny_trunk(prep, p2)
-    q = {
-        "p2_scale": jnp.float32(p2.s),
-        "convs": prep.qparams,
-        "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
-        "stems": _quantize_stems(bundle.params, absmax),
-    }
+    meta = _family_meta(bundle.spec, bundle.module)
+    prep = _Prepare(bundle.params, absmax, bn_eps=meta["bn_eps"],
+                    act=meta["act"])
+    p2_key = meta["stems"][1]
+    p2_c = np.asarray(
+        bundle.params["params"][p2_key]["conv"]["kernel"]).shape[-1]
+    p2 = QT(None, max(absmax[p2_key], 1e-12) / 127.0, p2_c)
+    if is_v8:
+        from aerial_image_recognition_tpu.models.yolov8 import SCALES
+        _v8_trunk(prep, p2, SCALES[bundle.module.scale][0])
+        q = {"p2_scale": jnp.float32(p2.s), "convs": prep.qparams}
+    else:
+        o3, o4, o5 = _tiny_trunk(prep, p2)
+        q = {
+            "p2_scale": jnp.float32(p2.s),
+            "convs": prep.qparams,
+            "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
+        }
+    q["stems"] = _quantize_stems(bundle.params, absmax,
+                                 bn_eps=meta["bn_eps"],
+                                 stem_names=meta["stems"], act=meta["act"])
     params = {"orig": bundle.params, "q": q}
-    return Int8Bundle(spec=bundle.spec, module=bundle.module, params=params)
+    scales = dict(prep.scales)
+    scales["__p2__"] = p2.s
+    return Int8Bundle(spec=bundle.spec, module=bundle.module, params=params,
+                      static_scales=scales)

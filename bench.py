@@ -206,6 +206,28 @@ def bench_mode(mode: str):
                "bf16": round(v_f, 2),
                "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
                                          2)}
+    elif mode == "int8_v8l":
+        # the compute-bound end of the ladder: YOLOv8-l ran ~90% of the
+        # chip's measured bf16 matmul rate (STATUS.md), so the int8 MXU
+        # path (2× rate) is the only remaining lever there
+        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
+        cfg = DetectorConfig(model_path="yolov8l")
+        bundle = create_model("yolov8l", dtype=jnp.bfloat16)
+        calib = [rng.integers(0, 255, (8, 640, 640, 3), dtype=np.uint8)]
+        qb = quantize_bundle(bundle, calib)
+        step_q = build_detect_step(cfg, batch=batch, bundle=qb)
+        step_f = build_detect_step(cfg, batch=batch, bundle=bundle)
+        v_q = v_f = 0.0
+        for _ in range(2):
+            v_q = max(v_q, measure(step_q, 640))
+            v_f = max(v_f, measure(step_f, 640))
+        out = {"metric": "yolov8l_int8_640px_tiles_per_sec_per_chip",
+               "value": round(v_q, 2), "unit": "tiles/s",
+               "vs_baseline": round(v_q / baseline, 4),
+               "bf16": round(v_f, 2),
+               "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
+                                         2)}
     else:
         raise SystemExit(f"unknown BENCH_MODE {mode!r}")
     print(json.dumps(out))

@@ -244,12 +244,69 @@ def test_int8_full_city_scan(tmp_path, bundles):
         srv.stop()
 
 
+V8_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "yolov8n_fakeworld.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(V8_FIXTURE),
+                    reason="trained v8 fixture not present")
+def test_int8_yolov8_matches_bf16():
+    """v8 family coverage: silu epilogue (requant NOT folded — silu isn't
+    homogeneous), C2f splits, residual adds at static calibrated scales,
+    and the int8 quad-stem entry, all against the trained v8n fixture."""
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+    from aerial_image_recognition_tpu.ops.quadstem import host_s2d2
+    bundle = create_model("yolov8n", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(V8_FIXTURE))
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=400, seed=4)
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    tiles = []
+    for lon, lat, _ in world.cars[:8]:
+        bb = (lon - 4.8 * m2lon, lat - 4.8 * m2lat,
+              lon + 4.8 * m2lon, lat + 4.8 * m2lat)
+        tiles.append(world.render(bb, 96, 96))
+    tiles = np.stack(tiles)
+    qb = quantize_bundle(bundle, [tiles], model_size=96)
+    x = preprocess_batch(jnp.asarray(tiles), out_size=96,
+                         dtype=jnp.float32)
+    kw = dict(num_classes=2, conf_threshold=0.4, iou_threshold=0.45,
+              max_det=16, pre_topk=256, use_pallas=False)
+    bx, bs = bundle.forward(bundle.params, x)
+    qx, qs = qb.forward(qb.params, x)
+    ref = batched_nms(bx, bs, **kw)
+    got = batched_nms(qx, qs, **kw)
+    np.testing.assert_array_equal(np.asarray(got.valid).sum(1),
+                                  np.asarray(ref.valid).sum(1))
+    np.testing.assert_array_equal(np.asarray(got.classes),
+                                  np.asarray(ref.classes))
+    for b in range(len(tiles)):
+        rb = np.asarray(ref.boxes[b])[np.asarray(ref.valid[b])]
+        gb = np.asarray(got.boxes[b])[np.asarray(got.valid[b])]
+        for r in rb:
+            j = int(np.abs(gb[:, :2] - r[:2]).sum(axis=1).argmin())
+            assert np.all(np.abs(gb[j, :2] - r[:2]) < 2.0), (b, r, gb[j])
+    # quad-stem entry (int8 stems, silu epilogue with separate requant)
+    xq = jnp.asarray(host_s2d2(tiles))
+    qxq, qsq = qb.forward_s2d2(qb.params, xq)
+    got_q = batched_nms(qxq, qsq, **kw)
+    np.testing.assert_array_equal(np.asarray(got_q.valid).sum(1),
+                                  np.asarray(ref.valid).sum(1))
+
+
 def test_int8_rejects_unsupported_family():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
-    v8 = create_model("yolov8n", dtype=jnp.float32)
+    xunet = create_model("xunet_256", dtype=jnp.float32)
     with pytest.raises(NotImplementedError):
-        quantize_bundle(v8, [np.zeros((1, 64, 64, 3), np.uint8)])
+        quantize_bundle(xunet, [np.zeros((1, 64, 64, 3), np.uint8)])
     # the s2d_stem experiment changes the stem parameter geometry — must
     # be rejected up front, not fail deep in the kernel transforms
     from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
