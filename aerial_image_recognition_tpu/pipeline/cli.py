@@ -55,6 +55,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--data-parallel", dest="data_parallel", nargs="?",
                    const=True, type=int, default=None, metavar="N",
                    help="shard the device batch over all (or N) chips")
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8-PTQ the detector trunk (models/int8.py; "
+                        "needs --quantize-calib)")
+    p.add_argument("--quantize-calib", dest="quantize_calib", default=None,
+                   help="calibration JSON from the `calibrate` verb")
 
 
 def _overrides(args) -> Dict:
@@ -129,6 +134,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pv.add_argument("--data-parallel", dest="data_parallel", nargs="?",
                     const=True, type=int, default=None, metavar="N",
                     help="shard the serving batch over all (or N) chips")
+    pv.add_argument("--quantize", choices=["int8"], default=None)
+    pv.add_argument("--quantize-calib", dest="quantize_calib", default=None)
 
     pm = sub.add_parser("automask", help="automatic instance masks over a "
                         "GeoTIFF (SAM2 workflow parity)")
@@ -323,7 +330,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             {"model_path": args.model_path, "params_path": args.params_path,
              "device_batch": args.batch,
              "confidence_threshold": args.confidence_threshold,
-             "data_parallel": args.data_parallel},
+             "data_parallel": args.data_parallel,
+             "quantize": args.quantize,
+             "quantize_calib": args.quantize_calib},
             host=args.host, port=args.port,
             max_wait_ms=args.max_wait_ms).start()
         print(json.dumps({"serving": srv.url,

@@ -284,12 +284,41 @@ def main():
         tiles_per_s = max(tiles_per_s,
                           batch * iters / (time.perf_counter() - t0))
     baseline = 2000.0  # tiles/s/chip target (BASELINE.json north star)
-    print(json.dumps({
+    out = {
         "metric": "yolov7_itcvd_640px_tiles_per_sec_per_chip",
         "value": round(tiles_per_s, 2),
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_s / baseline, 4),
-    }))
+    }
+    # Also record the int8-PTQ deployment config (models/int8.py; opt-in
+    # via CLI --quantize int8, detection-parity pinned by tests/test_int8.py)
+    # as extra keys on the same line — the metric name/value above stay the
+    # bf16 default path for cross-round comparability. Guarded: a failure
+    # here must not take down the headline.
+    try:
+        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+        from aerial_image_recognition_tpu.pipeline.inference import (
+            build_detect_step)
+        calib = [rng.integers(0, 255, (16, 640, 640, 3), dtype=np.uint8)]
+        qb = quantize_bundle(bundle, calib)
+        step_q = build_detect_step(cfg, batch=batch, bundle=qb)
+        raws = [rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)
+                for _ in range(2)]
+        imgs_q = [jnp.asarray(step_q.pack_images(r)) for r in raws]
+        det, lon, lat = step_q.fn(qb.params, imgs_q[0], bounds)
+        float(np.asarray(lon).sum())
+        v_q = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                det, lon, lat = step_q.fn(qb.params, imgs_q[i % 2], bounds)
+            assert np.isfinite(float(np.asarray(lon).sum()))
+            v_q = max(v_q, batch * iters / (time.perf_counter() - t0))
+        out["int8_tiles_per_s"] = round(v_q, 2)
+        out["int8_vs_baseline"] = round(v_q / baseline, 4)
+    except Exception as e:          # headline survives an int8-path failure
+        out["int8_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,7 +61,8 @@ def test_cli_override_parsing_extras():
         base_dir=".", command="detect", force_restart=False,
         interactive=False, params_path=None, frame_path="x.shp",
         tta=True, multiscale="0.85,1,1.15", heatmap_hex_m=50.0,
-        enhance_shadows=None, model_path=None)
+        enhance_shadows=None, model_path=None,
+        quantize="int8", quantize_calib="scales.json")
     out = _overrides(ns)
     assert out["multiscale"] == [0.85, 1.0, 1.15]
     assert out["tta"] is True and out["heatmap_hex_m"] == 50.0
@@ -70,6 +71,10 @@ def test_cli_override_parsing_extras():
     from aerial_image_recognition_tpu.runtime.config import DetectorConfig
     cfg = DetectorConfig().merged(out)
     assert cfg.extra["multiscale"] == [0.85, 1.0, 1.15]
+    # --quantize/--quantize-calib ride the same route into cfg.extra, where
+    # build_detect_step picks them up (pipeline/inference.py)
+    assert cfg.extra["quantize"] == "int8"
+    assert cfg.extra["quantize_calib"] == "scales.json"
 
 
 def test_cli_new_subcommands(tmp_path):
