@@ -298,3 +298,70 @@ def test_serve_stop_never_orphans_dispatched_batch():
     assert codes == [200, 200], codes
     assert not srv._readback_thread.is_alive(), "readback thread leaked"
     assert not srv._batch_thread.is_alive()
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="trained fixture not present")
+def test_serve_int8_quantized_step():
+    """The int8-PTQ deployment config (CLI `serve --quantize int8`) behind
+    the server: the config-driven quantize path of build_detect_step plus
+    the server's pad-and-batch loop over an s2d2-layout Int8Bundle step —
+    detections still land on the known car positions."""
+    import tempfile
+
+    from aerial_image_recognition_tpu.models.int8 import (
+        calibrate_absmax, save_absmax)
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(FIXTURE))
+    calib = np.stack([_tile_jpeg_raw(k) for k in range(8)])
+    with tempfile.TemporaryDirectory() as td:
+        calib_path = os.path.join(td, "absmax.json")
+        save_absmax(calib_path, calibrate_absmax(bundle, [calib],
+                                                 model_size=96))
+        params_path = os.path.join(td, "w.npz")
+        save_params(bundle.params, params_path)
+        cfg = DetectorConfig(confidence_threshold=0.4,
+                             params_path=params_path)
+        cfg.extra["quantize"] = "int8"
+        cfg.extra["quantize_calib"] = calib_path
+        step = build_detect_step(cfg, batch=8, model_size=96)
+    assert step.bundle.__class__.__name__ == "Int8Bundle"
+    assert step.input_layout == "s2d2"     # server must pack per request
+
+    srv = DetectionServer(detect_step=step, max_wait_ms=30.0).start()
+    try:
+        def one(k):
+            body, bbox, truth = _tile_jpeg(k)
+            r = requests.post(
+                srv.url + "/detect",
+                params={"west": bbox[0], "south": bbox[1],
+                        "east": bbox[2], "north": bbox[3]},
+                data=body, timeout=60)
+            return r, truth
+
+        # 5 concurrent requests: a padded (5-of-8) s2d2 batch
+        with cf.ThreadPoolExecutor(5) as pool:
+            results = list(pool.map(one, range(5)))
+        hits = 0
+        for r, (tlon, tlat) in results:
+            assert r.status_code == 200, r.text
+            dets = r.json()["detections"]
+            assert dets, "int8 serve lost the centered car"
+            d_m = min(np.hypot((d["lon"] - tlon) / M2LON,
+                               (d["lat"] - tlat) / M2LAT) for d in dets)
+            hits += d_m < 2.0
+        assert hits >= 4
+    finally:
+        srv.stop()
+
+
+def _tile_jpeg_raw(k):
+    lon, lat, _ = WORLD.cars[k * 7]
+    bbox = (lon - 4.8 * M2LON, lat - 4.8 * M2LAT,
+            lon + 4.8 * M2LON, lat + 4.8 * M2LAT)
+    return WORLD.render(bbox, 96, 96)
