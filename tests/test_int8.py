@@ -405,3 +405,43 @@ def test_int8_in_fused_step(bundles):
         for r in ff:
             j = int(np.abs(fq - r).sum(axis=1).argmin())
             assert np.all(np.abs(fq[j] - r) < 2e-5)
+
+
+def test_int8_composes_with_tta(bundles):
+    """TTA (brightness/gamma/CLAHE variation union — the reference's
+    gpu_handler.py:94-140 mode) over the int8 trunk: Int8Bundle.forward
+    shares ModelBundle's float-image contract, so the TTA expansion drops
+    in unchanged. Plain calibration suffices (measured: TTA-aware
+    calibration only loosens the scales and degrades scores); high-
+    confidence detections must agree with the bf16 TTA step, counts
+    within ±1 (borderline ~0.4-score boxes may differ under variation
+    union)."""
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    cfg = DetectorConfig(confidence_threshold=0.4, dtype="float32")
+    cfg.extra["tta"] = True
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (len(tiles), 1))
+    det_f, _, _ = build_detect_step(cfg, batch=len(tiles), bundle=bundle,
+                                    model_size=SIZE)(jnp.asarray(tiles),
+                                                     bounds)
+    det_q, _, _ = build_detect_step(cfg, batch=len(tiles), bundle=qb,
+                                    model_size=SIZE)(jnp.asarray(tiles),
+                                                     bounds)
+    n_f = np.asarray(det_f.valid).sum(axis=1)
+    n_q = np.asarray(det_q.valid).sum(axis=1)
+    assert n_f.sum() >= 12
+    assert int(np.abs(n_f - n_q).max()) <= 1
+    for b in range(len(tiles)):
+        v = np.asarray(det_f.valid[b])
+        strong = np.asarray(det_f.scores[b])[v] >= 0.6
+        fb = np.asarray(det_f.boxes[b])[v][strong]
+        fs = np.asarray(det_f.scores[b])[v][strong]
+        gb = np.asarray(det_q.boxes[b])[np.asarray(det_q.valid[b])]
+        gs = np.asarray(det_q.scores[b])[np.asarray(det_q.valid[b])]
+        for r, s in zip(fb, fs):
+            j = int(np.abs(gb[:, :2] - r[:2]).sum(axis=1).argmin())
+            assert np.all(np.abs(gb[j, :2] - r[:2]) < 2.0), (b, r, gb[j])
+            assert abs(gs[j] - s) < 0.05, (b, s, gs[j])
