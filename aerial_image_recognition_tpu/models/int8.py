@@ -208,8 +208,8 @@ class _Prepare:
         o = k.shape[3]
         w8, sw = _pcq(wf)
         s_out = self._s_out(name)
-        if self.act == "leaky":
-            # leaky(a·t) = a·leaky(t), a>0 ⇒ fold 1/s_out into m and b
+        if self.act in ("leaky", "relu"):
+            # leaky/relu(a·t) = a·leaky/relu(t), a>0 ⇒ fold 1/s_out into m, b
             qp = {"w8": jnp.asarray(w8),
                   "m": jnp.asarray((sw / s_out).astype(np.float32)),
                   "b": jnp.asarray((bf / s_out).astype(np.float32))}
@@ -270,6 +270,8 @@ class _Run:
         t = r.astype(jnp.float32) * qp["m"] + qp["b"]
         if self.act == "leaky":
             y = jax.nn.leaky_relu(t, 0.1)       # 1/s_out folded into m, b
+        elif self.act == "relu":
+            y = jax.nn.relu(t)                  # homogeneous like leaky
         else:
             y = jax.nn.silu(t) * qp["inv"]
         out = jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
@@ -383,6 +385,51 @@ def _v8_raw_from_i8(params, p2_i8, depth: float, scales: Dict[str, float]):
             + det[f"cls{i}_out"]["bias"]
         outs.append(jnp.concatenate([bo, co], axis=-1))
     return outs
+
+
+# ---------------------------------------------------------------------------
+# the XUnet-256 segmentation trunk (relu; third transcription, same scheme)
+
+
+def _xunet_trunk(g, x):
+    """Mirror of models/xunet.XUnet.__call__ from the enc0/cv1 feature to
+    the dec3 output. relu is positively homogeneous, so every conv uses the
+    zero-rescale epilogue; max-pools and nearest upsamples pass int8
+    through untouched; the skip concats ride the producer-scale-folding
+    scheme like every other concat. mask_out stays f32 in the bundle."""
+    skips = []
+    x = g.conv("enc0/cv2", x, 3)
+    skips.append(x)
+    x = g.pool2(x)
+    for i in (1, 2, 3):
+        x = g.conv(f"enc{i}/cv1", x, 3)
+        x = g.conv(f"enc{i}/cv2", x, 3)
+        skips.append(x)
+        x = g.pool2(x)
+    x = g.conv("bottleneck/cv1", x, 3)
+    x = g.conv("bottleneck/cv2", x, 3)
+    for i in range(4):
+        x = g.up2(x)
+        x = g.conv(f"up{i}", x, 1)
+        x = g.conv(f"dec{i}/cv1", [x, skips[3 - i]], 3)
+        x = g.conv(f"dec{i}/cv2", x, 3)
+    return x
+
+
+def _xunet_entry(variables, x, dtype=jnp.bfloat16, bn_eps=1e-3):
+    """enc0/cv1 — the 3-channel float-image entry conv, mirrored from ConvBN
+    (stride 1, pad k//2 == SAME, inference BN, relu) in the model dtype.
+    Quantizing a 3-input-channel conv wastes the MXU win (same reasoning as
+    the detector stems), so it stays bf16 and the int8 domain starts at its
+    output."""
+    p = variables["params"]["enc0"]["cv1"]
+    st = variables["batch_stats"]["enc0"]["cv1"]["bn"]
+    k = jnp.asarray(p["conv"]["kernel"], dtype)
+    t = lax.conv_general_dilated(x.astype(dtype), k, (1, 1),
+                                 ((1, 1), (1, 1)), dimension_numbers=_DN)
+    g = (p["bn"]["scale"] * lax.rsqrt(st["var"] + bn_eps)).astype(dtype)
+    t = (t - st["mean"].astype(dtype)) * g + p["bn"]["bias"].astype(dtype)
+    return jax.nn.relu(t)
 
 
 # ---------------------------------------------------------------------------
@@ -592,6 +639,61 @@ class Int8Bundle:
         return self._decode(self._raw_from_p2_i8(params, p2_i8))
 
 
+@dataclass
+class Int8XUnetBundle:
+    """Drop-in for the xunet ModelBundle (same forward contract: float
+    images in, f32 mask logits out — make_segment_fn /
+    pipeline.rasters.segment_geotiff consume it unchanged). enc0/cv1 stays
+    bf16 (3-channel entry), the dec3 coding scale is folded into the f32
+    mask_out kernel, everything between runs int8."""
+    spec: Any
+    module: Any
+    params: Any
+    static_scales: Any = None
+
+    def forward(self, params, images):
+        q = params["q"]
+        t = _xunet_entry(params["orig"], images, dtype=self.module.dtype)
+        s_in = self.static_scales["__entry__"]
+        xi = jnp.clip(jnp.round(t.astype(jnp.float32) / s_in),
+                      -127, 127).astype(jnp.int8)
+        g = _Run(q["convs"], act="relu", scales=self.static_scales)
+        out = _xunet_trunk(g, QT(xi, s_in, xi.shape[-1]))
+        # f32 mask head; dec3's coding scale is pre-folded into the kernel
+        return lax.conv_general_dilated(
+            out.v.astype(jnp.float32), q["mask_kernel"], (1, 1),
+            ((0, 0), (0, 0)), dimension_numbers=_DN) + q["mask_bias"]
+
+
+def quantize_xunet(bundle, calib_batches: Sequence[Any],
+                   model_size: Optional[int] = None,
+                   absmax: Optional[Dict[str, float]] = None
+                   ) -> Int8XUnetBundle:
+    """Calibrate + quantize an XUnet segmentation ModelBundle."""
+    if bundle.spec.family != "xunet":
+        raise NotImplementedError("quantize_xunet: xunet bundles only")
+    if absmax is None:
+        absmax = calibrate_absmax(bundle, calib_batches, model_size)
+    prep = _Prepare(bundle.params, absmax, bn_eps=1e-3, act="relu")
+    base = np.asarray(
+        bundle.params["params"]["enc0"]["cv1"]["conv"]["kernel"]).shape[-1]
+    s_entry = max(absmax["enc0/cv1"], 1e-12) / 127.0
+    out = _xunet_trunk(prep, QT(None, s_entry, base))
+    p = bundle.params["params"]["mask_out"]
+    q = {
+        "convs": prep.qparams,
+        # dequant fold: conv(x_i8·s, K) == conv(x_i8, K·s) for the 1×1 head
+        "mask_kernel": jnp.asarray(
+            np.asarray(p["kernel"], np.float32) * out.s),
+        "mask_bias": jnp.asarray(p["bias"], jnp.float32),
+    }
+    scales = dict(prep.scales)
+    scales["__entry__"] = s_entry
+    return Int8XUnetBundle(spec=bundle.spec, module=bundle.module,
+                           params={"orig": bundle.params, "q": q},
+                           static_scales=scales)
+
+
 def _family_meta(spec, module):
     """Stem scopes / activation / BN eps per family (mirrors
     models.registry.ModelBundle._s2d2_meta)."""
@@ -624,14 +726,17 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
     calib_batches: a few representative uint8 [B,S,S,3] batches (or floats
     in [0,1]). Pass absmax= to reuse a saved calibration instead.
     """
+    if bundle.spec.family == "xunet":
+        return quantize_xunet(bundle, calib_batches, model_size,
+                              absmax=absmax)
     is_v7 = (bundle.spec.family == "yolov7"
              and getattr(bundle.module, "variant", "") == "tiny"
              and not getattr(bundle.module, "s2d_stem", False))
     is_v8 = bundle.spec.family == "yolov8"
     if not (is_v7 or is_v8):
         raise NotImplementedError(
-            "int8 PTQ covers yolov7-tiny with the standard stems and "
-            "yolov8 n–x; other models / the s2d_stem experiment keep bf16")
+            "int8 PTQ covers yolov7-tiny with the standard stems, "
+            "yolov8 n–x, and xunet; the s2d_stem experiment keeps bf16")
     if absmax is None:
         absmax = calibrate_absmax(bundle, calib_batches, model_size)
     meta = _family_meta(bundle.spec, bundle.module)

@@ -123,10 +123,17 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
 
 def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
                     batch: int = 16, segment_fn=None, params=None,
+                    quantize: Optional[str] = None,
                     output_mask: Optional[str] = None,
                     output_polygons: Optional[str] = None) -> np.ndarray:
     """XUnet sliding-window segmentation → stitched binary mask
-    (+ mask GeoTIFF and polygon GeoJSON outputs)."""
+    (+ mask GeoTIFF and polygon GeoJSON outputs).
+
+    quantize="int8": int8-PTQ the XUnet trunk (models/int8.quantize_xunet),
+    self-calibrating on this raster's own first windows — the imagery being
+    scanned IS the representative imagery, so no saved calibration is
+    needed (unlike the detector CLI path, where one calibration is reused
+    across many runs)."""
     import jax
     import jax.numpy as jnp
 
@@ -140,6 +147,15 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
         bundle = create_model(
             "xunet_256", dtype=jnp.bfloat16,
             params_path=params if isinstance(params, str) else None)
+        if quantize == "int8":
+            from aerial_image_recognition_tpu.models.int8 import (
+                quantize_xunet)
+            calib_corners = list(iter_windows(h, w, window, window))[:batch]
+            calib = np.stack([_extract(gt.data, r, c, window)
+                              for r, c in calib_corners])
+            bundle = quantize_xunet(bundle, [calib])
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         cfg = DetectorConfig(model_family="xunet")
         segment_fn = jax.jit(make_segment_fn(bundle, cfg))
         params = bundle.params

@@ -228,6 +228,45 @@ def bench_mode(mode: str):
                "bf16": round(v_f, 2),
                "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
                                          2)}
+    elif mode == "int8_xunet":
+        # segmentation executor: XUnet-256 bf16 vs int8 trunk
+        # (models/int8.quantize_xunet; mask parity pinned by
+        # tests/test_int8.py::test_int8_xunet_mask_parity)
+        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+        from aerial_image_recognition_tpu.pipeline.inference import (
+            make_segment_fn)
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        cfg = DetectorConfig()
+        bundle = create_model("xunet_256", dtype=jnp.bfloat16)
+        calib = [rng.integers(0, 255, (8, 256, 256, 3), dtype=np.uint8)]
+        qb = quantize_bundle(bundle, calib)
+        fn_f = jax.jit(make_segment_fn(bundle, cfg))
+        fn_q = jax.jit(make_segment_fn(qb, cfg))
+        imgs = [jnp.asarray(rng.integers(0, 255, (batch, 256, 256, 3),
+                                         dtype=np.uint8)) for _ in range(2)]
+
+        def seg_measure(fn, params):
+            m = fn(params, imgs[0])
+            float(jnp.sum(m))                          # compile + settle
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    m = fn(params, imgs[i % 2])
+                assert np.isfinite(float(jnp.sum(m)))
+                best = max(best, batch * iters / (time.perf_counter() - t0))
+            return best
+
+        v_q = v_f = 0.0
+        for _ in range(2):                             # interleaved A/B
+            v_q = max(v_q, seg_measure(fn_q, qb.params))
+            v_f = max(v_f, seg_measure(fn_f, bundle.params))
+        out = {"metric": "xunet256_int8_tiles_per_sec_per_chip",
+               "value": round(v_q, 2), "unit": "tiles/s",
+               "vs_baseline": round(v_q / baseline, 4),
+               "bf16": round(v_f, 2),
+               "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
+                                         2)}
     else:
         raise SystemExit(f"unknown BENCH_MODE {mode!r}")
     print(json.dumps(out))

@@ -304,9 +304,10 @@ def test_int8_yolov8_matches_bf16():
 def test_int8_rejects_unsupported_family():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    # xunet dispatches to quantize_xunet since round 3 (no longer rejected)
     xunet = create_model("xunet_256", dtype=jnp.float32)
-    with pytest.raises(NotImplementedError):
-        quantize_bundle(xunet, [np.zeros((1, 64, 64, 3), np.uint8)])
+    qx = quantize_bundle(xunet, [np.zeros((1, 256, 256, 3), np.uint8)])
+    assert qx.__class__.__name__ == "Int8XUnetBundle"
     # the s2d_stem experiment changes the stem parameter geometry — must
     # be rejected up front, not fail deep in the kernel transforms
     from aerial_image_recognition_tpu.models.yolov7 import YOLOv7
@@ -445,3 +446,77 @@ def test_int8_composes_with_tta(bundles):
             j = int(np.abs(gb[:, :2] - r[:2]).sum(axis=1).argmin())
             assert np.all(np.abs(gb[j, :2] - r[:2]) < 2.0), (b, r, gb[j])
             assert abs(gs[j] - s) < 0.05, (b, s, gs[j])
+
+
+XUNET_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "xunet_fakeworld.npz")
+
+
+@pytest.mark.skipif(not os.path.exists(XUNET_FIXTURE),
+                    reason="trained xunet fixture not present")
+def test_int8_xunet_mask_parity():
+    """int8-PTQ of the XUnet segmentation trunk (third transcription of the
+    scheme: relu epilogues, skip-concat scale folding, dec3 scale folded
+    into the f32 mask_out kernel): masks must agree with the f32 model at
+    ≥0.99 IoU on trained-scene tiles, and ground-truth IoU must not
+    regress (measured 0.9999 / 0.9984-vs-0.9983 on the committed
+    fixture)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from train_xunet_fakeworld import build_tiles
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=150, n_buildings=120, seed=4)
+    boxes = build_tiles(world, 8, 256, 64.0, seed=123)   # held-out seed
+    tiles = np.stack([world.render(b, 256, 256) for b in boxes])
+    gt = np.stack([world.render_mask(b, 256, 256) for b in boxes]) > 0
+
+    bundle = create_model("xunet_256", dtype=jnp.float32)
+    bundle.params = load_params(XUNET_FIXTURE)
+    qb = quantize_bundle(bundle, [tiles[:4]])   # family-dispatched
+    assert qb.__class__.__name__ == "Int8XUnetBundle"
+
+    x = preprocess_batch(jnp.asarray(tiles), out_size=256,
+                         dtype=jnp.float32)
+    mf = np.asarray(bundle.forward(bundle.params, x))[..., 0] > 0
+    mq = np.asarray(qb.forward(qb.params, x))[..., 0] > 0
+    iou_fq = (mf & mq).sum() / max((mf | mq).sum(), 1)
+    iou_f = (mf & gt).sum() / max((mf | gt).sum(), 1)
+    iou_q = (mq & gt).sum() / max((mq | gt).sum(), 1)
+    assert iou_fq >= 0.99, iou_fq
+    assert iou_q >= iou_f - 0.005, (iou_q, iou_f)
+
+
+@pytest.mark.skipif(not os.path.exists(XUNET_FIXTURE),
+                    reason="trained xunet fixture not present")
+def test_segment_geotiff_int8_self_calibrates(tmp_path):
+    """segment_geotiff(quantize='int8') calibrates on the raster's own
+    windows and produces the same stitched mask as the bf16 path."""
+    from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline.rasters import segment_geotiff
+
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=150, n_buildings=120, seed=4)
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    bb = (21.0 - 64 * m2lon, 52.2 - 64 * m2lat,
+          21.0 + 64 * m2lon, 52.2 + 64 * m2lat)
+    img = world.render(bb, 512, 512)
+    path = str(tmp_path / "area.tif")
+    px_lon = (bb[2] - bb[0]) / 512
+    px_lat = (bb[3] - bb[1]) / 512
+    write_geotiff(path, img, (bb[0], px_lon, 0.0, bb[3], 0.0, -px_lat),
+                  4326)
+    kw = dict(window=256, batch=4, params=XUNET_FIXTURE)
+    mask_f = segment_geotiff(path, **kw)
+    mask_q = segment_geotiff(path, quantize="int8", **kw)
+    inter = (mask_f & mask_q).sum()
+    union = (mask_f | mask_q).sum()
+    assert union > 0 and inter / union >= 0.99
