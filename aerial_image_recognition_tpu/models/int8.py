@@ -720,8 +720,9 @@ def load_absmax(path: str) -> Dict[str, float]:
 def quantize_bundle(bundle, calib_batches: Sequence[Any],
                     model_size: Optional[int] = None,
                     absmax: Optional[Dict[str, float]] = None) -> Int8Bundle:
-    """Calibrate + quantize a detector ModelBundle into an Int8Bundle
-    (yolov7-tiny with standard stems, or any yolov8 scale).
+    """Calibrate + quantize a ModelBundle: detector families (yolov7-tiny
+    with standard stems, any yolov8 scale) → Int8Bundle; xunet →
+    Int8XUnetBundle (family-dispatched to quantize_xunet).
 
     calib_batches: a few representative uint8 [B,S,S,3] batches (or floats
     in [0,1]). Pass absmax= to reuse a saved calibration instead.

@@ -21,8 +21,12 @@ from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 
 
 def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
-                    segment_fn=None, params=None) -> np.ndarray:
-    """Stitched [H, W] float32 foreground probability via batched XUnet."""
+                    segment_fn=None, params=None,
+                    quantize: Optional[str] = None) -> np.ndarray:
+    """Stitched [H, W] float32 foreground probability via batched XUnet.
+
+    quantize="int8": int8-PTQ the trunk, self-calibrating on this raster's
+    own first windows (same scheme as rasters.segment_geotiff)."""
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +40,18 @@ def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
         bundle = create_model(
             "xunet_256", dtype=jnp.bfloat16,
             params_path=params if isinstance(params, str) else None)
+        if quantize == "int8":
+            from aerial_image_recognition_tpu.models.int8 import (
+                quantize_xunet)
+            if params is not None and not isinstance(params, str):
+                bundle.params = params   # quantize the caller's weights
+            cal_corners = list(iter_windows(h, w, window, window))[:batch]
+            calib = np.stack([_extract(gt.data, r, c, window)
+                              for r, c in cal_corners])
+            bundle = quantize_xunet(bundle, [calib])
+            params = None            # the quantized tree replaces any input
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         cfg = DetectorConfig(model_family="xunet")
         segment_fn = jax.jit(make_segment_fn(bundle, cfg))
         if params is None or isinstance(params, str):
@@ -106,6 +122,7 @@ def _grow_region(mask: np.ndarray) -> np.ndarray:
 
 def automask_geotiff(src, *, window: int = 256, batch: int = 16,
                      segment_fn=None, params=None,
+                     quantize: Optional[str] = None,
                      thresholds: Sequence[float] = (0.35, 0.5, 0.65),
                      min_area_px: int = 20, stability_min: float = 0.6,
                      output_mask: Optional[str] = None,
@@ -116,7 +133,8 @@ def automask_geotiff(src, *, window: int = 256, batch: int = 16,
 
     gt = src if isinstance(src, GeoTiff) else read_geotiff(src)
     probs = probability_map(gt, window=window, batch=batch,
-                            segment_fn=segment_fn, params=params)
+                            segment_fn=segment_fn, params=params,
+                            quantize=quantize)
     instances = extract_instances(probs, thresholds=thresholds,
                                   min_area_px=min_area_px,
                                   stability_min=stability_min)

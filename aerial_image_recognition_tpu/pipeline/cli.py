@@ -144,6 +144,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("--window", type=int, default=256)
     pm.add_argument("--min-area", type=int, default=20)
     pm.add_argument("--stability", type=float, default=0.6)
+    pm.add_argument("--quantize", choices=["int8"], default=None,
+                    help="int8-PTQ the XUnet trunk (self-calibrates on "
+                         "the raster's own windows)")
     pm.add_argument("--out-mask")
     pm.add_argument("--out-polygons")
 
@@ -349,6 +352,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             automask_geotiff)
         inst = automask_geotiff(
             args.path, window=args.window, params=args.params,
+            quantize=args.quantize,
             min_area_px=args.min_area, stability_min=args.stability,
             output_mask=args.out_mask, output_polygons=args.out_polygons)
         print(json.dumps({"instances": len(inst)}))

@@ -150,10 +150,13 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
         if quantize == "int8":
             from aerial_image_recognition_tpu.models.int8 import (
                 quantize_xunet)
+            if params is not None and not isinstance(params, str):
+                bundle.params = params   # quantize the caller's weights
             calib_corners = list(iter_windows(h, w, window, window))[:batch]
             calib = np.stack([_extract(gt.data, r, c, window)
                               for r, c in calib_corners])
             bundle = quantize_xunet(bundle, [calib])
+            params = None            # the quantized tree replaces any input
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         cfg = DetectorConfig(model_family="xunet")

@@ -94,6 +94,12 @@ def test_cli_new_subcommands(tmp_path):
     rc = main(["automask", p, "--window", "64", "--min-area", "5",
                "--stability", "0.0", "--out-polygons", out_poly])
     assert rc == 0 and os.path.exists(out_poly)
+    # --quantize int8 self-calibrates on the raster's own windows and runs
+    # the same workflow over the quantized trunk
+    rc = main(["automask", p, "--window", "64", "--min-area", "5",
+               "--stability", "0.0", "--quantize", "int8",
+               "--out-polygons", out_poly])
+    assert rc == 0
 
 
 def test_params_path_reaches_production_model(tmp_path):
