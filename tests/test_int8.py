@@ -473,13 +473,13 @@ def test_int8_xunet_mask_parity():
 
     world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
                       n_cars=150, n_buildings=120, seed=4)
-    boxes = build_tiles(world, 8, 256, 64.0, seed=123)   # held-out seed
+    boxes = build_tiles(world, 4, 256, 64.0, seed=123)   # held-out seed
     tiles = np.stack([world.render(b, 256, 256) for b in boxes])
     gt = np.stack([world.render_mask(b, 256, 256) for b in boxes]) > 0
 
     bundle = create_model("xunet_256", dtype=jnp.float32)
     bundle.params = load_params(XUNET_FIXTURE)
-    qb = quantize_bundle(bundle, [tiles[:4]])   # family-dispatched
+    qb = quantize_bundle(bundle, [tiles[:2]])   # family-dispatched
     assert qb.__class__.__name__ == "Int8XUnetBundle"
 
     x = preprocess_batch(jnp.asarray(tiles), out_size=256,
@@ -506,15 +506,15 @@ def test_segment_geotiff_int8_self_calibrates(tmp_path):
                       n_cars=150, n_buildings=120, seed=4)
     m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
     m2lat = 1.0 / 111319.9
-    bb = (21.0 - 64 * m2lon, 52.2 - 64 * m2lat,
-          21.0 + 64 * m2lon, 52.2 + 64 * m2lat)
-    img = world.render(bb, 512, 512)
+    bb = (21.0 - 64 * m2lon, 52.2 - 32 * m2lat,
+          21.0 + 64 * m2lon, 52.2 + 32 * m2lat)
+    img = world.render(bb, 512, 256)     # [256,512]: 2 windows, stitch covered
     path = str(tmp_path / "area.tif")
     px_lon = (bb[2] - bb[0]) / 512
-    px_lat = (bb[3] - bb[1]) / 512
+    px_lat = (bb[3] - bb[1]) / 256
     write_geotiff(path, img, (bb[0], px_lon, 0.0, bb[3], 0.0, -px_lat),
                   4326)
-    kw = dict(window=256, batch=4, params=XUNET_FIXTURE)
+    kw = dict(window=256, batch=2, params=XUNET_FIXTURE)
     mask_f = segment_geotiff(path, **kw)
     mask_q = segment_geotiff(path, quantize="int8", **kw)
     inter = (mask_f & mask_q).sum()
