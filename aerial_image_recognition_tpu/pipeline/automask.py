@@ -26,37 +26,19 @@ def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
     """Stitched [H, W] float32 foreground probability via batched XUnet.
 
     quantize="int8": int8-PTQ the trunk, self-calibrating on this raster's
-    own first windows (same scheme as rasters.segment_geotiff)."""
-    import jax
-    import jax.numpy as jnp
-
+    own first windows (rasters.build_xunet_segment_fn)."""
     from aerial_image_recognition_tpu.pipeline.rasters import (
-        _extract, iter_windows)
+        _extract, _place_probs, build_xunet_segment_fn, iter_windows)
 
     h, w = gt.data.shape[:2]
     if segment_fn is None:
-        from aerial_image_recognition_tpu.models.registry import create_model
-        from aerial_image_recognition_tpu.pipeline.inference import make_segment_fn
-        bundle = create_model(
-            "xunet_256", dtype=jnp.bfloat16,
-            params_path=params if isinstance(params, str) else None)
-        if quantize == "int8":
-            from aerial_image_recognition_tpu.models.int8 import (
-                quantize_xunet)
-            if params is not None and not isinstance(params, str):
-                bundle.params = params   # quantize the caller's weights
-            cal_corners = list(iter_windows(h, w, window, window))[:batch]
-            calib = np.stack([_extract(gt.data, r, c, window)
-                              for r, c in cal_corners])
-            bundle = quantize_xunet(bundle, [calib])
-            params = None            # the quantized tree replaces any input
-        elif quantize is not None:
-            raise ValueError(f"unknown quantize mode {quantize!r}")
-        cfg = DetectorConfig(model_family="xunet")
-        segment_fn = jax.jit(make_segment_fn(bundle, cfg))
-        if params is None or isinstance(params, str):
-            params = bundle.params
-        # else: the caller supplied an in-memory variables tree — use it
+        segment_fn, params = build_xunet_segment_fn(
+            gt, window=window, batch=batch, params=params,
+            quantize=quantize)
+    elif quantize is not None:
+        raise ValueError(
+            "quantize= only applies when probability_map builds the "
+            "executor itself; quantize before building your segment_fn")
 
     probs = np.zeros((h, w), np.float32)
     corners = list(iter_windows(h, w, window, window))
@@ -65,7 +47,9 @@ def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
         imgs = np.zeros((batch, window, window, 3), np.uint8)
         for k, (r, c) in enumerate(group):
             imgs[k] = _extract(gt.data, r, c, window)
-        p = np.asarray(segment_fn(params, imgs), np.float32)[..., 0]
+        p = _place_probs(
+            np.asarray(segment_fn(params, imgs), np.float32)[..., 0],
+            window)
         for k, (r, c) in enumerate(group):
             hh, ww = min(window, h - r), min(window, w - c)
             probs[r:r + hh, c:c + ww] = p[k, :hh, :ww]

@@ -121,6 +121,57 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
     return records
 
 
+def build_xunet_segment_fn(gt: GeoTiff, *, window: int, batch: int,
+                           params=None, quantize: Optional[str] = None):
+    """Shared XUnet executor construction for segment_geotiff /
+    automask.probability_map: build the bundle (optionally from a
+    checkpoint path or an in-memory tree), optionally int8-PTQ it
+    (models/int8.quantize_xunet) self-calibrating on the raster's own
+    first windows — the imagery being scanned IS the representative
+    imagery, so no saved calibration is needed — and return
+    (jitted segment_fn, live params tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        make_segment_fn)
+
+    bundle = create_model(
+        "xunet_256", dtype=jnp.bfloat16,
+        params_path=params if isinstance(params, str) else None)
+    if params is not None and not isinstance(params, str):
+        bundle.params = params           # caller-supplied in-memory tree
+    if quantize == "int8":
+        from aerial_image_recognition_tpu.models.int8 import quantize_xunet
+        h, w = gt.data.shape[:2]
+        corners = list(iter_windows(h, w, window, window))[:batch]
+        calib = np.stack([_extract(gt.data, r, c, window)
+                          for r, c in corners])
+        # chunked calibration batches: absmax is a running max, and one
+        # capture-all forward over 16 windows would hold every
+        # intermediate at once (cli.py's `calibrate` verb chunks too)
+        bundle = quantize_xunet(
+            bundle, [calib[i:i + 8] for i in range(0, len(calib), 8)])
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
+    cfg = DetectorConfig(model_family="xunet")
+    return jax.jit(make_segment_fn(bundle, cfg)), bundle.params
+
+
+def _place_probs(probs: np.ndarray, window: int) -> np.ndarray:
+    """Model-resolution [B,S,S] probabilities → window-resolution [B,w,w]
+    for stitching. The executor resizes every window to the model's input
+    size (make_segment_fn), so non-256 windows must be resized BACK before
+    placement — stitching model-resolution quadrants used to silently
+    misplace masks for window != 256."""
+    if probs.shape[1] == window:
+        return probs
+    import jax
+    return np.asarray(jax.image.resize(
+        probs, (probs.shape[0], window, window), method="bilinear"))
+
+
 def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
                     batch: int = 16, segment_fn=None, params=None,
                     quantize: Optional[str] = None,
@@ -129,39 +180,18 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
     """XUnet sliding-window segmentation → stitched binary mask
     (+ mask GeoTIFF and polygon GeoJSON outputs).
 
-    quantize="int8": int8-PTQ the XUnet trunk (models/int8.quantize_xunet),
-    self-calibrating on this raster's own first windows — the imagery being
-    scanned IS the representative imagery, so no saved calibration is
-    needed (unlike the detector CLI path, where one calibration is reused
-    across many runs)."""
-    import jax
-    import jax.numpy as jnp
-
+    quantize="int8": int8-PTQ the XUnet trunk, self-calibrating on this
+    raster's own first windows (see build_xunet_segment_fn)."""
     gt = src if isinstance(src, GeoTiff) else read_geotiff(src)
     h, w = gt.data.shape[:2]
     if segment_fn is None:
-        from aerial_image_recognition_tpu.models.registry import create_model
-        from aerial_image_recognition_tpu.pipeline.inference import make_segment_fn
-        # `params` is a checkpoint path here (str); after construction it
-        # becomes the live tree fed to segment_fn.
-        bundle = create_model(
-            "xunet_256", dtype=jnp.bfloat16,
-            params_path=params if isinstance(params, str) else None)
-        if quantize == "int8":
-            from aerial_image_recognition_tpu.models.int8 import (
-                quantize_xunet)
-            if params is not None and not isinstance(params, str):
-                bundle.params = params   # quantize the caller's weights
-            calib_corners = list(iter_windows(h, w, window, window))[:batch]
-            calib = np.stack([_extract(gt.data, r, c, window)
-                              for r, c in calib_corners])
-            bundle = quantize_xunet(bundle, [calib])
-            params = None            # the quantized tree replaces any input
-        elif quantize is not None:
-            raise ValueError(f"unknown quantize mode {quantize!r}")
-        cfg = DetectorConfig(model_family="xunet")
-        segment_fn = jax.jit(make_segment_fn(bundle, cfg))
-        params = bundle.params
+        segment_fn, params = build_xunet_segment_fn(
+            gt, window=window, batch=batch, params=params,
+            quantize=quantize)
+    elif quantize is not None:
+        raise ValueError(
+            "quantize= only applies when segment_geotiff builds the "
+            "executor itself; quantize before building your segment_fn")
 
     mask = np.zeros((h, w), np.uint8)
     corners = list(iter_windows(h, w, window, window))
@@ -170,7 +200,8 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
         imgs = np.zeros((batch, window, window, 3), np.uint8)
         for k, (r, c) in enumerate(group):
             imgs[k] = _extract(gt.data, r, c, window)
-        probs = np.asarray(segment_fn(params, imgs))[..., 0]
+        probs = _place_probs(
+            np.asarray(segment_fn(params, imgs))[..., 0], window)
         for k, (r, c) in enumerate(group):
             hh = min(window, h - r)
             ww = min(window, w - c)

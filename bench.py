@@ -261,9 +261,13 @@ def bench_mode(mode: str):
         for _ in range(2):                             # interleaved A/B
             v_q = max(v_q, seg_measure(fn_q, qb.params))
             v_f = max(v_f, seg_measure(fn_f, bundle.params))
+        # vs_baseline here is vs the bf16 XUnet measured in the same
+        # process — the 2000 t/s detector target is a different workload
+        # (640px detection) and a cross-workload ratio would mislead
         out = {"metric": "xunet256_int8_tiles_per_sec_per_chip",
                "value": round(v_q, 2), "unit": "tiles/s",
-               "vs_baseline": round(v_q / baseline, 4),
+               "vs_baseline": round(v_q / max(v_f, 1e-9), 4),
+               "baseline_is": "same-process bf16 xunet",
                "bf16": round(v_f, 2),
                "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
                                          2)}
@@ -311,10 +315,38 @@ def main():
     det, lon, lat = detect(bundle.params, images[0], bounds)
     float(lon.sum())
 
-    # Steady state, best of 3 rounds; a scalar readback (not just
-    # block_until_ready, which returns early through the axon tunnel)
+    # The int8-PTQ deployment config (models/int8.py; opt-in via CLI
+    # --quantize int8, detection-parity pinned by tests/test_int8.py) rides
+    # the same JSON line as extra keys, measured INTERLEAVED with the bf16
+    # rounds (tunnel throughput drifts minute to minute — CLAUDE.md).
+    # The metric name/value stay the bf16 default path for cross-round
+    # comparability. Guarded: an int8 failure must not take down the
+    # headline; BENCH_INT8=0 skips it (and its extra compile) entirely.
+    step_q = imgs_q = None
+    int8_err = None
+    if os.environ.get("BENCH_INT8", "1") != "0":
+        try:
+            from aerial_image_recognition_tpu.models.int8 import (
+                quantize_bundle)
+            from aerial_image_recognition_tpu.pipeline.inference import (
+                build_detect_step)
+            calib = [rng.integers(0, 255, (16, 640, 640, 3),
+                                  dtype=np.uint8)]
+            qb = quantize_bundle(bundle, calib)
+            step_q = build_detect_step(cfg, batch=batch, bundle=qb)
+            raws = [rng.integers(0, 255, (batch, 640, 640, 3),
+                                 dtype=np.uint8) for _ in range(2)]
+            imgs_q = [jnp.asarray(step_q.pack_images(r)) for r in raws]
+            det, lon, lat = step_q.fn(qb.params, imgs_q[0], bounds)
+            float(np.asarray(lon).sum())            # compile + settle
+        except Exception as e:
+            int8_err = f"{type(e).__name__}: {e}"[:200]
+            step_q = None
+
+    # Steady state, best of 3 interleaved rounds; a scalar readback (not
+    # just block_until_ready, which returns early through the axon tunnel)
     # forces real completion.
-    tiles_per_s = 0.0
+    tiles_per_s = v_q = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
@@ -322,6 +354,13 @@ def main():
         assert np.isfinite(float(lon.sum()))
         tiles_per_s = max(tiles_per_s,
                           batch * iters / (time.perf_counter() - t0))
+        if step_q is not None:
+            t0 = time.perf_counter()
+            for i in range(iters):
+                det, lon, lat = step_q.fn(step_q.bundle.params,
+                                          imgs_q[i % 2], bounds)
+            assert np.isfinite(float(np.asarray(lon).sum()))
+            v_q = max(v_q, batch * iters / (time.perf_counter() - t0))
     baseline = 2000.0  # tiles/s/chip target (BASELINE.json north star)
     out = {
         "metric": "yolov7_itcvd_640px_tiles_per_sec_per_chip",
@@ -329,34 +368,11 @@ def main():
         "unit": "tiles/s",
         "vs_baseline": round(tiles_per_s / baseline, 4),
     }
-    # Also record the int8-PTQ deployment config (models/int8.py; opt-in
-    # via CLI --quantize int8, detection-parity pinned by tests/test_int8.py)
-    # as extra keys on the same line — the metric name/value above stay the
-    # bf16 default path for cross-round comparability. Guarded: a failure
-    # here must not take down the headline.
-    try:
-        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
-        from aerial_image_recognition_tpu.pipeline.inference import (
-            build_detect_step)
-        calib = [rng.integers(0, 255, (16, 640, 640, 3), dtype=np.uint8)]
-        qb = quantize_bundle(bundle, calib)
-        step_q = build_detect_step(cfg, batch=batch, bundle=qb)
-        raws = [rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)
-                for _ in range(2)]
-        imgs_q = [jnp.asarray(step_q.pack_images(r)) for r in raws]
-        det, lon, lat = step_q.fn(qb.params, imgs_q[0], bounds)
-        float(np.asarray(lon).sum())
-        v_q = 0.0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for i in range(iters):
-                det, lon, lat = step_q.fn(qb.params, imgs_q[i % 2], bounds)
-            assert np.isfinite(float(np.asarray(lon).sum()))
-            v_q = max(v_q, batch * iters / (time.perf_counter() - t0))
+    if step_q is not None:
         out["int8_tiles_per_s"] = round(v_q, 2)
         out["int8_vs_baseline"] = round(v_q / baseline, 4)
-    except Exception as e:          # headline survives an int8-path failure
-        out["int8_error"] = f"{type(e).__name__}: {e}"[:200]
+    elif int8_err is not None:
+        out["int8_error"] = int8_err
     print(json.dumps(out))
 
 

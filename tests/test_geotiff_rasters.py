@@ -119,3 +119,33 @@ def test_segment_geotiff_runs(tmp_path, rng):
     gt = read_geotiff(mask_path)
     assert gt.data.shape[:2] == (100, 130)
     assert os.path.exists(poly_path)
+
+
+def test_segment_geotiff_nonmodel_window_stitches_correctly(tmp_path):
+    """Windows smaller/larger than the model input (256) are resized INTO
+    the executor (make_segment_fn) — so the probabilities must be resized
+    BACK to window resolution before stitching. Round-3 review finding:
+    the stitcher used to paste the upper-left model-resolution quadrant,
+    silently misplacing every mask for window != 256."""
+    import numpy as np
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline.rasters import segment_geotiff
+
+    img = np.zeros((128, 256, 3), np.uint8)
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, img, (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
+
+    def fake_segment_fn(params, imgs):
+        # model-resolution output: left half foreground, right half not
+        b = np.asarray(imgs).shape[0]
+        probs = np.zeros((b, 256, 256, 1), np.float32)
+        probs[:, :, :128] = 1.0
+        return probs
+
+    mask = segment_geotiff(p, window=128, batch=2,
+                           segment_fn=fake_segment_fn, params=None)
+    assert mask.shape == (128, 256)
+    # each 128-px window: left 64 columns set, right 64 clear
+    for c0 in (0, 128):
+        assert mask[:, c0:c0 + 64].all(), c0
+        assert not mask[:, c0 + 64:c0 + 128].any(), c0

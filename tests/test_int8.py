@@ -442,6 +442,8 @@ def test_int8_composes_with_tta(bundles):
         fs = np.asarray(det_f.scores[b])[v][strong]
         gb = np.asarray(det_q.boxes[b])[np.asarray(det_q.valid[b])]
         gs = np.asarray(det_q.scores[b])[np.asarray(det_q.valid[b])]
+        assert len(gb) or not len(fb), \
+            f"tile {b}: int8 lost every detection incl. strong ones"
         for r, s in zip(fb, fs):
             j = int(np.abs(gb[:, :2] - r[:2]).sum(axis=1).argmin())
             assert np.all(np.abs(gb[j, :2] - r[:2]) < 2.0), (b, r, gb[j])
