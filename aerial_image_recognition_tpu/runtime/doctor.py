@@ -10,17 +10,50 @@ import time
 from typing import Dict
 
 
-def diagnose(compile_check: bool = True) -> Dict:
+def _devices_with_timeout(jax, timeout_s: float):
+    """jax.devices() can HANG (not fail) when a remote TPU backend's
+    transport is wedged — observed with the PJRT claim leg never completing
+    while the relay port still accepts TCP. A diagnostic that hangs is
+    worse than no diagnostic, so probe from a daemon thread and give up
+    loudly after timeout_s. (The thread leaks if the claim never returns —
+    acceptable in a short-lived doctor process.)"""
+    import threading
+
+    box: list = []
+
+    def probe():
+        try:
+            box.append(jax.devices())
+        except Exception as e:        # surfaced as jax_error by the caller
+            box.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not box:
+        raise TimeoutError(
+            f"jax.devices() did not return within {timeout_s:.0f}s — the "
+            "accelerator backend is likely wedged (remote transport up but "
+            "device claim never completes); retry later or check the "
+            "tunnel/plugin")
+    if isinstance(box[0], Exception):
+        raise box[0]
+    return box[0]
+
+
+def diagnose(compile_check: bool = True,
+             device_timeout_s: float = 60.0) -> Dict:
     out: Dict = {}
     try:
         import jax
         import jax.numpy as jnp
         out["jax_version"] = jax.__version__
+        devices = _devices_with_timeout(jax, device_timeout_s)
         out["backend"] = jax.default_backend()
-        out["devices"] = [str(d) for d in jax.devices()]
+        out["devices"] = [str(d) for d in devices]
         out["process_count"] = jax.process_count()
         try:
-            stats = jax.devices()[0].memory_stats() or {}
+            stats = devices[0].memory_stats() or {}
             out["hbm_limit_gb"] = round(stats.get("bytes_limit", 0) / 1e9, 2)
             out["hbm_used_gb"] = round(stats.get("bytes_in_use", 0) / 1e9, 3)
         except Exception as e:

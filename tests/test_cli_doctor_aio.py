@@ -152,3 +152,27 @@ def test_xyz_save_preview(tmp_path):
     ring = doc["features"][0]["geometry"]["coordinates"][0]
     assert ring[0] == ring[-1]
     f.close()
+
+
+def test_doctor_device_probe_times_out():
+    """jax.devices() can hang (not fail) when a remote backend's transport
+    wedges — observed live in round 3 (tunnel claim leg stuck for hours).
+    The doctor must report that loudly instead of hanging itself."""
+    import time as _time
+    from aerial_image_recognition_tpu.runtime.doctor import (
+        _devices_with_timeout)
+
+    class HangingJax:
+        @staticmethod
+        def devices():
+            _time.sleep(30)
+
+    with pytest.raises(TimeoutError, match="wedged"):
+        _devices_with_timeout(HangingJax, 0.5)
+
+    class HealthyJax:
+        @staticmethod
+        def devices():
+            return ["dev0"]
+
+    assert _devices_with_timeout(HealthyJax, 5.0) == ["dev0"]
