@@ -21,16 +21,17 @@ from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 
 
 def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
+                    stride: Optional[int] = None,
                     segment_fn=None, params=None,
                     quantize: Optional[str] = None) -> np.ndarray:
     """Stitched [H, W] float32 foreground probability via batched XUnet.
 
     quantize="int8": int8-PTQ the trunk, self-calibrating on this raster's
-    own first windows (rasters.build_xunet_segment_fn)."""
+    own first windows (rasters.build_xunet_segment_fn). stride < window:
+    overlap-averaged stitching (rasters.stitch_probability_map)."""
     from aerial_image_recognition_tpu.pipeline.rasters import (
-        _extract, _place_probs, build_xunet_segment_fn, iter_windows)
+        build_xunet_segment_fn, stitch_probability_map)
 
-    h, w = gt.data.shape[:2]
     if segment_fn is None:
         segment_fn, params = build_xunet_segment_fn(
             gt, window=window, batch=batch, params=params,
@@ -40,20 +41,8 @@ def probability_map(gt: GeoTiff, *, window: int = 256, batch: int = 16,
             "quantize= only applies when probability_map builds the "
             "executor itself; quantize before building your segment_fn")
 
-    probs = np.zeros((h, w), np.float32)
-    corners = list(iter_windows(h, w, window, window))
-    for i0 in range(0, len(corners), batch):
-        group = corners[i0:i0 + batch]
-        imgs = np.zeros((batch, window, window, 3), np.uint8)
-        for k, (r, c) in enumerate(group):
-            imgs[k] = _extract(gt.data, r, c, window)
-        p = _place_probs(
-            np.asarray(segment_fn(params, imgs), np.float32)[..., 0],
-            window)
-        for k, (r, c) in enumerate(group):
-            hh, ww = min(window, h - r), min(window, w - c)
-            probs[r:r + hh, c:c + ww] = p[k, :hh, :ww]
-    return probs
+    return stitch_probability_map(gt, segment_fn, params, window=window,
+                                  stride=stride, batch=batch)
 
 
 def extract_instances(probs: np.ndarray, *,
@@ -105,6 +94,7 @@ def _grow_region(mask: np.ndarray) -> np.ndarray:
 
 
 def automask_geotiff(src, *, window: int = 256, batch: int = 16,
+                     stride: Optional[int] = None,
                      segment_fn=None, params=None,
                      quantize: Optional[str] = None,
                      thresholds: Sequence[float] = (0.35, 0.5, 0.65),
@@ -116,7 +106,7 @@ def automask_geotiff(src, *, window: int = 256, batch: int = 16,
     from aerial_image_recognition_tpu.pipeline.rasters import mask_to_polygons
 
     gt = src if isinstance(src, GeoTiff) else read_geotiff(src)
-    probs = probability_map(gt, window=window, batch=batch,
+    probs = probability_map(gt, window=window, batch=batch, stride=stride,
                             segment_fn=segment_fn, params=params,
                             quantize=quantize)
     instances = extract_instances(probs, thresholds=thresholds,

@@ -147,6 +147,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("--quantize", choices=["int8"], default=None,
                     help="int8-PTQ the XUnet trunk (self-calibrates on "
                          "the raster's own windows)")
+    pm.add_argument("--stride", type=int, default=None,
+                    help="window stride; < window overlap-averages the "
+                         "stitched probabilities (seam mitigation)")
     pm.add_argument("--out-mask")
     pm.add_argument("--out-polygons")
 
@@ -352,7 +355,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             automask_geotiff)
         inst = automask_geotiff(
             args.path, window=args.window, params=args.params,
-            quantize=args.quantize,
+            quantize=args.quantize, stride=args.stride,
             min_area_px=args.min_area, stability_min=args.stability,
             output_mask=args.out_mask, output_polygons=args.out_polygons)
         print(json.dumps({"instances": len(inst)}))

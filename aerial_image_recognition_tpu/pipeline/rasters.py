@@ -172,8 +172,43 @@ def _place_probs(probs: np.ndarray, window: int) -> np.ndarray:
         probs, (probs.shape[0], window, window), method="bilinear"))
 
 
+def stitch_probability_map(gt: GeoTiff, segment_fn, params, *,
+                           window: int = 256, stride: Optional[int] = None,
+                           batch: int = 16) -> np.ndarray:
+    """Batched sliding-window segmentation probabilities stitched over the
+    whole raster → float32 [H, W].
+
+    stride < window (overlap) AVERAGES predictions where windows overlap:
+    a U-Net's border pixels see the least context and are its least
+    reliable outputs, so non-overlapping tiles leave visible seams in the
+    stitched mask (the classic tiling artifact). With e.g.
+    stride = window // 2 every interior pixel is covered by ≥2 windows and
+    seam discontinuities average out. Default stays non-overlapping
+    (stride = window): exact previous behavior, 1× compute."""
+    h, w = gt.data.shape[:2]
+    stride = stride or window
+    acc = np.zeros((h, w), np.float32)
+    cnt = np.zeros((h, w), np.float32)
+    corners = list(iter_windows(h, w, window, stride))
+    for i0 in range(0, len(corners), batch):
+        group = corners[i0:i0 + batch]
+        imgs = np.zeros((batch, window, window, 3), np.uint8)
+        for k, (r, c) in enumerate(group):
+            imgs[k] = _extract(gt.data, r, c, window)
+        probs = _place_probs(
+            np.asarray(segment_fn(params, imgs), np.float32)[..., 0],
+            window)
+        for k, (r, c) in enumerate(group):
+            hh = min(window, h - r)
+            ww = min(window, w - c)
+            acc[r:r + hh, c:c + ww] += probs[k, :hh, :ww]
+            cnt[r:r + hh, c:c + ww] += 1.0
+    return acc / np.maximum(cnt, 1.0)
+
+
 def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
-                    batch: int = 16, segment_fn=None, params=None,
+                    batch: int = 16, stride: Optional[int] = None,
+                    segment_fn=None, params=None,
                     quantize: Optional[str] = None,
                     output_mask: Optional[str] = None,
                     output_polygons: Optional[str] = None) -> np.ndarray:
@@ -181,9 +216,10 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
     (+ mask GeoTIFF and polygon GeoJSON outputs).
 
     quantize="int8": int8-PTQ the XUnet trunk, self-calibrating on this
-    raster's own first windows (see build_xunet_segment_fn)."""
+    raster's own first windows (see build_xunet_segment_fn).
+    stride < window: overlap-averaged stitching (tiling-artifact
+    mitigation — see stitch_probability_map)."""
     gt = src if isinstance(src, GeoTiff) else read_geotiff(src)
-    h, w = gt.data.shape[:2]
     if segment_fn is None:
         segment_fn, params = build_xunet_segment_fn(
             gt, window=window, batch=batch, params=params,
@@ -193,20 +229,9 @@ def segment_geotiff(src, *, window: int = 256, threshold: float = 0.5,
             "quantize= only applies when segment_geotiff builds the "
             "executor itself; quantize before building your segment_fn")
 
-    mask = np.zeros((h, w), np.uint8)
-    corners = list(iter_windows(h, w, window, window))
-    for i0 in range(0, len(corners), batch):
-        group = corners[i0:i0 + batch]
-        imgs = np.zeros((batch, window, window, 3), np.uint8)
-        for k, (r, c) in enumerate(group):
-            imgs[k] = _extract(gt.data, r, c, window)
-        probs = _place_probs(
-            np.asarray(segment_fn(params, imgs))[..., 0], window)
-        for k, (r, c) in enumerate(group):
-            hh = min(window, h - r)
-            ww = min(window, w - c)
-            mask[r:r + hh, c:c + ww] = (probs[k, :hh, :ww]
-                                        >= threshold).astype(np.uint8)
+    probs = stitch_probability_map(gt, segment_fn, params, window=window,
+                                   stride=stride, batch=batch)
+    mask = (probs >= threshold).astype(np.uint8)
     if output_mask:
         write_geotiff(output_mask, mask * 255, gt.transform, gt.epsg)
     if output_polygons:

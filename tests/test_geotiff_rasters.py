@@ -149,3 +149,39 @@ def test_segment_geotiff_nonmodel_window_stitches_correctly(tmp_path):
     for c0 in (0, 128):
         assert mask[:, c0:c0 + 64].all(), c0
         assert not mask[:, c0 + 64:c0 + 128].any(), c0
+
+
+def test_segment_overlap_averages_out_window_borders(tmp_path):
+    """Tiling-artifact mitigation: a U-Net's window-border pixels are its
+    least-reliable outputs, and non-overlapping stitching leaves those
+    seams in the mask. With stride < window, overlapping predictions
+    average them out. Modeled with a fake executor whose windows are
+    perfect (1.0) in the interior but dead (0.0) in an 8-px border."""
+    import numpy as np
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline.rasters import (
+        read_geotiff, stitch_probability_map)
+
+    img = np.zeros((256, 512, 3), np.uint8)
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, img, (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
+    gt = read_geotiff(p)
+
+    def fake_segment_fn(params, imgs):
+        b = np.asarray(imgs).shape[0]
+        probs = np.zeros((b, 256, 256, 1), np.float32)
+        probs[:, 8:-8, 8:-8] = 1.0          # dead 8-px window border
+        return probs
+
+    seam = stitch_probability_map(gt, fake_segment_fn, None,
+                                  window=256, stride=256)
+    blended = stitch_probability_map(gt, fake_segment_fn, None,
+                                     window=256, stride=128)
+    interior = (slice(8, -8), slice(8, -8))   # raster's own border excluded
+    # non-overlap: the column seam at 248..264 is dead through the interior
+    assert float(seam[128, 250]) == 0.0
+    # overlap: every interior pixel is covered by at least one window that
+    # saw it away from a border
+    assert float(blended[interior].min()) >= 0.5
+    # and the overlap never degrades clean areas
+    assert float(blended[128, 64]) == 1.0
