@@ -121,6 +121,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     pg.add_argument("--stride", type=int, default=600)
     pg.add_argument("--confidence", type=float, default=0.4)
     pg.add_argument("--out", help="output geojson")
+    pg.add_argument("--quantize", choices=["int8"], default=None)
+    pg.add_argument("--quantize-calib", dest="quantize_calib", default=None)
 
     pv = sub.add_parser("serve", help="HTTP detection service with dynamic "
                         "batching")
@@ -324,7 +326,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         recs = detect_geotiff(
             args.path, window=args.window, stride=args.stride,
             confidence=args.confidence, model=args.model,
-            params=args.params, output_geojson=args.out)
+            params=args.params, quantize=args.quantize,
+            quantize_calib=args.quantize_calib, output_geojson=args.out)
         print(json.dumps({"detections": len(recs), "output": args.out}))
         return 0
 

@@ -48,9 +48,14 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
                    confidence: float = 0.4, model: str = "yolov8_tokyo",
                    batch: int = 16, detect_step=None,
                    params: Optional[str] = None,
+                   quantize: Optional[str] = None,
+                   quantize_calib: Optional[str] = None,
                    output_geojson: Optional[str] = None,
                    dedup_m: float = 2.0) -> List[Dict]:
-    """Sliding-window detection over a GeoTIFF → georeferenced records."""
+    """Sliding-window detection over a GeoTIFF → georeferenced records.
+
+    quantize="int8" + quantize_calib=<json from the `calibrate` verb>:
+    int8-PTQ the detector trunk (build_detect_step's config route)."""
     import jax.numpy as jnp
     from aerial_image_recognition_tpu.pipeline.inference import build_detect_step
     from aerial_image_recognition_tpu.post.dedup import dedup_records
@@ -59,6 +64,9 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
     h, w = gt.data.shape[:2]
     cfg = DetectorConfig(model_path=model, confidence_threshold=confidence,
                          params_path=params)
+    if quantize is not None:
+        cfg.extra["quantize"] = quantize
+        cfg.extra["quantize_calib"] = quantize_calib
     step = detect_step or build_detect_step(cfg, batch=batch,
                                             src_size=window)
     corners = list(iter_windows(h, w, window, stride))

@@ -185,3 +185,20 @@ def test_segment_overlap_averages_out_window_borders(tmp_path):
     assert float(blended[interior].min()) >= 0.5
     # and the overlap never degrades clean areas
     assert float(blended[128, 64]) == 1.0
+
+
+def test_detect_geotiff_quantize_reaches_build(tmp_path):
+    """The geotiff verb's --quantize flags ride cfg.extra into
+    build_detect_step: int8 without a calibration must raise its
+    ValueError (proving the wiring), not silently run bf16."""
+    import numpy as np
+    import pytest
+    from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline.rasters import detect_geotiff
+
+    p = str(tmp_path / "in.tif")
+    write_geotiff(p, np.zeros((64, 64, 3), np.uint8),
+                  (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
+    with pytest.raises(ValueError, match="quantize_calib"):
+        detect_geotiff(p, window=64, stride=64, model="yolov7_itcvd",
+                       quantize="int8")
