@@ -155,6 +155,78 @@ def _tiny_trunk(g, x):
     return o3, o4, o5
 
 
+def _elan_base(g, prefix: str, x, head: bool = False):
+    """yolov7-base ELAN (models/yolov7.py:66-91): 4 chained 3×3 off cv2;
+    backbone taps [m4,m2,cv2,cv1], head ('ELAN-H') taps all six."""
+    cv1 = g.conv(f"{prefix}/cv1", x, 1)
+    cv2 = g.conv(f"{prefix}/cv2", x, 1)
+    m = cv2
+    ms = []
+    for i in range(4):
+        m = g.conv(f"{prefix}/m{i + 1}", m, 3)
+        ms.append(m)
+    taps = ([ms[3], ms[2], ms[1], ms[0], cv2, cv1] if head
+            else [ms[3], ms[1], cv2, cv1])
+    return g.conv(f"{prefix}/out", taps, 1)
+
+
+def _mpconv(g, prefix: str, x):
+    """yolov7-base MP downsample (models/yolov7.py:94-109): maxpool and
+    strided-conv branches, deferred concat [conv, pool]."""
+    a = g.conv(f"{prefix}/pool_cv", g.pool2(x), 1)
+    b = g.conv(f"{prefix}/pre_cv", x, 1)
+    b = g.conv(f"{prefix}/down_cv", b, 3, stride=2)
+    return [b, a]
+
+
+def _sppcspc_base(g, prefix: str, x):
+    """yolov7-base SPPCSPC (models/yolov7.py:112-130): parallel 5/9/13."""
+    cv1 = g.conv(f"{prefix}/cv1", x, 1)
+    cv3 = g.conv(f"{prefix}/cv3", cv1, 3)
+    cv4 = g.conv(f"{prefix}/cv4", cv3, 1)
+    pools = [cv4, g.pool_same(cv4, 5), g.pool_same(cv4, 9),
+             g.pool_same(cv4, 13)]
+    y1 = g.conv(f"{prefix}/cv5", pools, 1)
+    y1 = g.conv(f"{prefix}/cv6", y1, 3)
+    y2 = g.conv(f"{prefix}/cv2", x, 1)
+    return g.conv(f"{prefix}/cv7", [y1, y2], 1)
+
+
+def _v7base_trunk(g, x):
+    """Mirror of YOLOv7._base from the P2 feature (stem3 output) through
+    the RepConv deploy convs (models/yolov7.py:248-289). Returns
+    (o3, o4, o5) QTs — the f32 detect heads run outside."""
+    x = _elan_base(g, "elan1", x)
+    x = _mpconv(g, "mp3", x)                         # P3/8
+    p3 = _elan_base(g, "elan2", x)
+    x = _mpconv(g, "mp4", p3)                        # P4/16
+    p4 = _elan_base(g, "elan3", x)
+    x = _mpconv(g, "mp5", p4)                        # P5/32
+    p5 = _elan_base(g, "elan4", x)
+
+    spp = _sppcspc_base(g, "sppcspc", p5)
+    x = g.conv("up4_cv", spp, 1)
+    x = g.up2(x)
+    r4 = g.conv("route4", p4, 1)
+    f4 = _elan_base(g, "head_elan4", [r4, x], head=True)
+    x = g.conv("up3_cv", f4, 1)
+    x = g.up2(x)
+    r3 = g.conv("route3", p3, 1)
+    f3 = _elan_base(g, "head_elan3", [r3, x], head=True)
+    a = g.conv("pan4_pool_cv", g.pool2(f3), 1)
+    b = g.conv("pan4_pre_cv", f3, 1)
+    b = g.conv("pan4_down_cv", b, 3, stride=2)
+    f4b = _elan_base(g, "pan_elan4", [b, a, f4], head=True)
+    a = g.conv("pan5_pool_cv", g.pool2(f4b), 1)
+    b = g.conv("pan5_pre_cv", f4b, 1)
+    b = g.conv("pan5_down_cv", b, 3, stride=2)
+    f5b = _elan_base(g, "pan_elan5", [b, a, spp], head=True)
+    o3 = g.conv("rep3", f3, 3)       # RepConv deploy: conv+bias, no BN
+    o4 = g.conv("rep4", f4b, 3)
+    o5 = g.conv("rep5", f5b, 3)
+    return o3, o4, o5
+
+
 class _Prepare:
     """Walks the trunk graph building qparams from the f32 variables +
     calibration scales. Raises on any channel-count mismatch between the
@@ -186,15 +258,24 @@ class _Prepare:
     def conv(self, name, x, kernel, stride=1):
         parts = x if isinstance(x, list) else [x]
         node = self._node(self.p, name)
-        stats = self._node(self.stats, name)["bn"]
         k = np.asarray(node["conv"]["kernel"], np.float32)   # HWIO
-        gamma = np.asarray(node["bn"]["scale"], np.float32)
-        beta = np.asarray(node["bn"]["bias"], np.float32)
-        mean = np.asarray(stats["mean"], np.float32)
-        var = np.asarray(stats["var"], np.float32)
-        g = gamma / np.sqrt(var + self.bn_eps)
-        wf = k * g                                            # O is last
-        bf = beta - mean * g
+        if "bn" in node:
+            stats = self._node(self.stats, name)["bn"]
+            gamma = np.asarray(node["bn"]["scale"], np.float32)
+            beta = np.asarray(node["bn"]["bias"], np.float32)
+            mean = np.asarray(stats["mean"], np.float32)
+            var = np.asarray(stats["var"], np.float32)
+            g = gamma / np.sqrt(var + self.bn_eps)
+            wf = k * g                                        # O is last
+            bf = beta - mean * g
+        else:
+            # BN-less ConvBN (e.g. yolov7-base RepConv deploy form):
+            # plain conv + bias, same epilogue otherwise. copy(): the
+            # scale fold below mutates wf in place and np.asarray of a
+            # jax array is read-only
+            wf = k.copy()
+            bf = np.asarray(node["conv"].get(
+                "bias", np.zeros(k.shape[-1])), np.float32)
         if k.shape[0] != kernel or sum(p.c for p in parts) != k.shape[2]:
             raise ValueError(
                 f"{name}: transcription/checkpoint mismatch — kernel "
@@ -240,6 +321,9 @@ class _Prepare:
         return x          # value-preserving ⇒ scale/channels unchanged
 
     def pool5(self, x):
+        return x
+
+    def pool_same(self, x, k):
         return x
 
     def up2(self, x):
@@ -295,6 +379,11 @@ class _Run:
     def pool5(self, x):
         from flax import linen as nn
         return replace(x, v=nn.max_pool(x.v, (5, 5), strides=(1, 1),
+                                        padding="SAME"))
+
+    def pool_same(self, x, k):
+        from flax import linen as nn
+        return replace(x, v=nn.max_pool(x.v, (k, k), strides=(1, 1),
                                         padding="SAME"))
 
     def up2(self, x):
@@ -437,14 +526,18 @@ def _xunet_entry(variables, x, dtype=jnp.bfloat16, bn_eps=1e-3):
 
 
 def _stems_bf16(variables, x, dtype=jnp.bfloat16, bn_eps=1e-5,
-                stem_names=("stem0", "stem1"), act="leaky"):
-    """The two stride-2 stem ConvBNs, eagerly mirrored from ConvBN
-    (models/layers.py:125-153: conv pad k//2 → inference BN → act)."""
+                stem_names=("stem0", "stem1"), act="leaky",
+                strides=None):
+    """The stem ConvBNs, eagerly mirrored from ConvBN
+    (models/layers.py:125-153: conv pad k//2 → inference BN → act).
+    strides defaults to all-stride-2 (tiny/v8); yolov7-base passes
+    (1, 2, 1, 2) for its four-conv stem."""
     p, s = variables["params"], variables["batch_stats"]
+    strides = strides or (2,) * len(stem_names)
     x = x.astype(dtype)
-    for nm in stem_names:
+    for nm, st in zip(stem_names, strides):
         k = jnp.asarray(p[nm]["conv"]["kernel"], dtype)
-        x = lax.conv_general_dilated(x, k, (2, 2), ((1, 1), (1, 1)),
+        x = lax.conv_general_dilated(x, k, (st, st), ((1, 1), (1, 1)),
                                      dimension_numbers=_DN)
         g = (p[nm]["bn"]["scale"]
              * lax.rsqrt(s[nm]["bn"]["var"] + bn_eps)).astype(dtype)
@@ -478,6 +571,17 @@ def _trunk_raw_from_i8(params, p2_i8):
     q = params["q"]
     g = _Run(q["convs"])
     o3, o4, o5 = _tiny_trunk(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
+    feats = [o.v.astype(jnp.float32) * sc
+             for o, sc in zip((o3, o4, o5), q["out_scales"])]
+    return _detect_heads(params["orig"], feats)
+
+
+def _v7base_raw_from_i8(params, p2_i8):
+    """int8 yolov7-base trunk (silu, incl. the BN-less RepConv deploy
+    convs) + f32 detect heads."""
+    q = params["q"]
+    g = _Run(q["convs"], act="silu")
+    o3, o4, o5 = _v7base_trunk(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
     feats = [o.v.astype(jnp.float32) * sc
              for o, sc in zip((o3, o4, o5), q["out_scales"])]
     return _detect_heads(params["orig"], feats)
@@ -591,7 +695,9 @@ class Int8Bundle:
     static_scales: Any = None
 
     def supports_s2d2(self) -> bool:
-        return True      # both families' standard stems, by construction
+        # tiny/v8 standard stems by construction; yolov7-base's four-conv
+        # stem (strides 1,2,1,2) has no quad-stem lowering
+        return getattr(self.module, "variant", "") != "base"
 
     def _p2_quantize(self, p2):
         q = self.params["q"]   # p2_scale is an array — fine, multiply only
@@ -603,6 +709,8 @@ class Int8Bundle:
             from aerial_image_recognition_tpu.models.yolov8 import SCALES
             depth = SCALES[self.module.scale][0]
             return _v8_raw_from_i8(params, p2_i8, depth, self.static_scales)
+        if getattr(self.module, "variant", "") == "base":
+            return _v7base_raw_from_i8(params, p2_i8)
         return _trunk_raw_from_i8(params, p2_i8)
 
     def _decode(self, outs):
@@ -617,11 +725,14 @@ class Int8Bundle:
         meta = _family_meta(self.spec, self.module)
         p2 = _stems_bf16(params["orig"], images, dtype=self.module.dtype,
                          bn_eps=meta["bn_eps"], stem_names=meta["stems"],
-                         act=meta["act"])
+                         act=meta["act"], strides=meta["strides"])
         return self._decode(self._raw_from_p2_i8(
             params, self._p2_quantize(p2)))
 
     def forward_s2d2(self, params, xq, in_scale=1.0 / 255.0):
+        if not self.supports_s2d2():
+            raise NotImplementedError(
+                "no quad-stem lowering for this stem geometry")
         meta = _family_meta(self.spec, self.module)
         if (xq.dtype == jnp.uint8 and "stems" in params["q"]
                 and in_scale in (None, 1.0 / 255.0)):
@@ -695,11 +806,17 @@ def quantize_xunet(bundle, calib_batches: Sequence[Any],
 
 
 def _family_meta(spec, module):
-    """Stem scopes / activation / BN eps per family (mirrors
-    models.registry.ModelBundle._s2d2_meta)."""
+    """Stem scopes / strides / activation / BN eps per family (mirrors
+    models.registry.ModelBundle._s2d2_meta, plus the yolov7-base stem
+    geometry, which has no quad-stem lowering)."""
     if spec.family == "yolov8":
-        return {"stems": ("stem", "down2"), "act": "silu", "bn_eps": 1e-3}
-    return {"stems": ("stem0", "stem1"), "act": "leaky", "bn_eps": 1e-5}
+        return {"stems": ("stem", "down2"), "act": "silu", "bn_eps": 1e-3,
+                "strides": (2, 2)}
+    if getattr(module, "variant", "") == "base":
+        return {"stems": ("stem0", "stem1", "stem2", "stem3"),
+                "act": "silu", "bn_eps": 1e-5, "strides": (1, 2, 1, 2)}
+    return {"stems": ("stem0", "stem1"), "act": "leaky", "bn_eps": 1e-5,
+            "strides": (2, 2)}
 
 
 def save_absmax(path: str, absmax: Dict[str, float]) -> None:
@@ -730,20 +847,21 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
     if bundle.spec.family == "xunet":
         return quantize_xunet(bundle, calib_batches, model_size,
                               absmax=absmax)
-    is_v7 = (bundle.spec.family == "yolov7"
-             and getattr(bundle.module, "variant", "") == "tiny"
+    variant = getattr(bundle.module, "variant", "")
+    is_v7 = (bundle.spec.family == "yolov7" and variant == "tiny"
              and not getattr(bundle.module, "s2d_stem", False))
+    is_v7base = bundle.spec.family == "yolov7" and variant == "base"
     is_v8 = bundle.spec.family == "yolov8"
-    if not (is_v7 or is_v8):
+    if not (is_v7 or is_v7base or is_v8):
         raise NotImplementedError(
-            "int8 PTQ covers yolov7-tiny with the standard stems, "
+            "int8 PTQ covers yolov7 tiny/base with the standard stems, "
             "yolov8 n–x, and xunet; the s2d_stem experiment keeps bf16")
     if absmax is None:
         absmax = calibrate_absmax(bundle, calib_batches, model_size)
     meta = _family_meta(bundle.spec, bundle.module)
     prep = _Prepare(bundle.params, absmax, bn_eps=meta["bn_eps"],
                     act=meta["act"])
-    p2_key = meta["stems"][1]
+    p2_key = meta["stems"][-1]        # the last stem conv emits P2
     p2_c = np.asarray(
         bundle.params["params"][p2_key]["conv"]["kernel"]).shape[-1]
     p2 = QT(None, max(absmax[p2_key], 1e-12) / 127.0, p2_c)
@@ -751,6 +869,13 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
         from aerial_image_recognition_tpu.models.yolov8 import SCALES
         _v8_trunk(prep, p2, SCALES[bundle.module.scale][0])
         q = {"p2_scale": jnp.float32(p2.s), "convs": prep.qparams}
+    elif is_v7base:
+        o3, o4, o5 = _v7base_trunk(prep, p2)
+        q = {
+            "p2_scale": jnp.float32(p2.s),
+            "convs": prep.qparams,
+            "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
+        }
     else:
         o3, o4, o5 = _tiny_trunk(prep, p2)
         q = {
@@ -758,9 +883,10 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
             "convs": prep.qparams,
             "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
         }
-    q["stems"] = _quantize_stems(bundle.params, absmax,
-                                 bn_eps=meta["bn_eps"],
-                                 stem_names=meta["stems"], act=meta["act"])
+    if not is_v7base:   # base's four-conv stem has no quad-stem lowering
+        q["stems"] = _quantize_stems(
+            bundle.params, absmax, bn_eps=meta["bn_eps"],
+            stem_names=meta["stems"], act=meta["act"])
     params = {"orig": bundle.params, "q": q}
     scales = dict(prep.scales)
     scales["__p2__"] = p2.s

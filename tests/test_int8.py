@@ -583,3 +583,40 @@ def test_int8_composes_with_src_resize(bundles):
         outs[name] = np.asarray(det.valid).sum(axis=1)
     assert outs["f"].sum() >= 12
     assert int(np.abs(outs["f"] - outs["q"]).max()) <= 1
+
+
+def test_int8_yolov7_base_matches_f32():
+    """int8 PTQ of the yolov7-BASE trunk (full ELAN taps, MPConv
+    transitions, parallel-5/9/13 SPPCSPC, BN-less RepConv deploy convs —
+    all silu): decoded outputs must track the f32 model on realistic
+    random upstream weights (the arch-differential generator), since no
+    trained base fixture exists. Stems stay bf16 (the 4-conv stride
+    1/2/1/2 stem has no quad lowering; supports_s2d2 must say so)."""
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        YOLOV7_BASE_SPEC, make_state_dict)
+    from aerial_image_recognition_tpu.models.import_torch import (
+        import_torch_state, yolov7_base_mapping, yolov7_detect_from_torch)
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+
+    sd = make_state_dict(YOLOV7_BASE_SPEC, nc=1, seed=7)
+    variables = import_torch_state(sd, yolov7_base_mapping())
+    variables = yolov7_detect_from_torch(sd, variables, detect_idx=105)
+    bundle = create_model("yolov7_base", dtype=jnp.float32)
+    bundle.params = variables
+
+    rng = np.random.default_rng(1)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    qb = quantize_bundle(bundle, [imgs], model_size=64)
+    assert not qb.supports_s2d2()
+    with pytest.raises(NotImplementedError):
+        qb.forward_s2d2(qb.params, jnp.zeros((1, 16, 16, 48), jnp.uint8))
+
+    x = preprocess_batch(jnp.asarray(imgs), out_size=64, dtype=jnp.float32)
+    bf, sf = map(np.asarray, bundle.forward(bundle.params, x))
+    bq, sq = map(np.asarray, qb.forward(qb.params, x))
+    assert float(np.abs(sf - sq).max()) < 0.02
+    conf = np.repeat(sf > 0.3, 4, -1).reshape(bf.shape)
+    assert conf.any() and float(np.abs(bf - bq)[conf].max()) < 2.0
+    assert float(np.corrcoef(sf.ravel(), sq.ravel())[0, 1]) > 0.999
