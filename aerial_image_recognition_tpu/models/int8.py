@@ -1,4 +1,11 @@
-"""Post-training int8 quantization of the yolov7-tiny trunk (TPU MXU path).
+"""Post-training int8 quantization of the model trunks (TPU MXU path).
+
+Covers every registry model: yolov7-tiny, yolov7-base, yolov8 n–x
+(detectors → Int8Bundle) and XUnet-256 (segmentation → Int8XUnetBundle).
+Each trunk is a separate transcription executed by the shared prepare/run
+interpreter pair below; the scheme description that follows is written
+for the flagship yolov7-tiny but applies to all four (leaky/relu fold the
+requant into the epilogue; silu keeps it as a fused multiply).
 
 The reference deploys through ONNX Runtime with a TensorRT config in its
 archived snapshot (reference simple_detector.py arch notes; SURVEY §2.1) —
