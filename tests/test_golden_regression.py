@@ -80,3 +80,47 @@ def test_nms_golden(rng):
         "scores": np.asarray(det.scores)[0],
         "valid": np.asarray(det.valid)[0].astype(np.int8),
     }, atol=1e-6)
+
+
+def test_int8_tiny_golden():
+    """Lock the int8 graph (transcription + scale folding + epilogues) the
+    way the bf16 goldens lock the flax graph: trained fixture, fixed
+    synthetic calibration and input, decoded outputs compared to a
+    recorded .npz. Quantization is fully deterministic, so drift here
+    means the int8 lowering changed behavior."""
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    trained = os.path.join(FIXTURE_DIR, "yolov7_tiny_fakeworld.npz")
+    if not os.path.exists(trained):
+        pytest.skip("trained fixture not present")
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(trained))
+    img = _synthetic_image()
+    qb = quantize_bundle(bundle, [img], model_size=96)
+    x = jnp.asarray(img).astype(jnp.float32) / 255.0
+    boxes, scores = jax.jit(qb.forward)(qb.params, x)
+    _golden_check("int8_tiny_trained", {
+        "boxes_head": np.asarray(boxes)[0, :64],
+        "scores_head": np.asarray(scores)[0, :64],
+    }, atol=5e-3)
+
+
+def test_int8_xunet_golden():
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    trained = os.path.join(FIXTURE_DIR, "xunet_fakeworld.npz")
+    if not os.path.exists(trained):
+        pytest.skip("trained xunet fixture not present")
+    bundle = create_model("xunet_256", dtype=jnp.float32)
+    bundle.params = load_params(trained)
+    img = np.tile(_synthetic_image(96), (1, 3, 3, 1))[:, :256, :256]
+    qb = quantize_bundle(bundle, [img])
+    x = jnp.asarray(img).astype(jnp.float32) / 255.0
+    logits = jax.jit(qb.forward)(qb.params, x)
+    _golden_check("int8_xunet_trained", {
+        "logits_patch": np.asarray(logits)[0, 96:128, 96:128, 0],
+        "logits_mean": np.asarray([float(jnp.mean(logits))]),
+    }, atol=5e-3)
