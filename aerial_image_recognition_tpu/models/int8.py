@@ -125,9 +125,9 @@ def _sppcspc_tiny(g, prefix: str, x):
     """SPPCSPCTiny (models/yolov7.py:133-157, SPPF-equivalent chain)."""
     cv1 = g.conv(f"{prefix}/cv1", x, 1)
     cv2 = g.conv(f"{prefix}/cv2", x, 1)
-    p5 = g.pool5(cv2)
-    p9 = g.pool5(p5)
-    p13 = g.pool5(p9)
+    p5 = g.pool_same(cv2, 5)
+    p9 = g.pool_same(p5, 5)
+    p13 = g.pool_same(p9, 5)
     y = g.conv(f"{prefix}/cv3", [p13, p9, p5, cv2], 1)
     return g.conv(f"{prefix}/out", [y, cv1], 1)
 
@@ -327,9 +327,6 @@ class _Prepare:
     def pool2(self, x):
         return x          # value-preserving ⇒ scale/channels unchanged
 
-    def pool5(self, x):
-        return x
-
     def pool_same(self, x, k):
         return x
 
@@ -383,11 +380,6 @@ class _Run:
         return replace(x, v=nn.max_pool(x.v, (2, 2), strides=(2, 2),
                                         padding="VALID"))
 
-    def pool5(self, x):
-        from flax import linen as nn
-        return replace(x, v=nn.max_pool(x.v, (5, 5), strides=(1, 1),
-                                        padding="SAME"))
-
     def pool_same(self, x, k):
         from flax import linen as nn
         return replace(x, v=nn.max_pool(x.v, (k, k), strides=(1, 1),
@@ -419,9 +411,9 @@ def _c2f(g, prefix: str, x, n: int, shortcut: bool):
 
 def _sppf(g, prefix: str, x):
     y = g.conv(f"{prefix}/cv1", x, 1)
-    p1 = g.pool5(y)
-    p2 = g.pool5(p1)
-    p3 = g.pool5(p2)
+    p1 = g.pool_same(y, 5)
+    p2 = g.pool_same(p1, 5)
+    p3 = g.pool_same(p2, 5)
     return g.conv(f"{prefix}/cv2", [y, p1, p2, p3], 1)
 
 
@@ -566,29 +558,13 @@ def _detect_heads(variables, feats_f32: List[jnp.ndarray]):
     return outs
 
 
-def _trunk_raw(params, p2_bf16):
-    """int8 trunk + f32 heads: P2 feature → raw per-level maps."""
+def _v7_raw_from_i8(params, p2_i8, trunk_fn=_tiny_trunk, act="leaky"):
+    """int8 yolov7 trunk (tiny: leaky; base: silu incl. the BN-less
+    RepConv deploy convs) + f32 detect heads — one dequant/head hookup
+    for both variants."""
     q = params["q"]
-    p2q = jnp.clip(jnp.round(p2_bf16.astype(jnp.float32) / q["p2_scale"]),
-                   -127, 127).astype(jnp.int8)
-    return _trunk_raw_from_i8(params, p2q)
-
-
-def _trunk_raw_from_i8(params, p2_i8):
-    q = params["q"]
-    g = _Run(q["convs"])
-    o3, o4, o5 = _tiny_trunk(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
-    feats = [o.v.astype(jnp.float32) * sc
-             for o, sc in zip((o3, o4, o5), q["out_scales"])]
-    return _detect_heads(params["orig"], feats)
-
-
-def _v7base_raw_from_i8(params, p2_i8):
-    """int8 yolov7-base trunk (silu, incl. the BN-less RepConv deploy
-    convs) + f32 detect heads."""
-    q = params["q"]
-    g = _Run(q["convs"], act="silu")
-    o3, o4, o5 = _v7base_trunk(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
+    g = _Run(q["convs"], act=act)
+    o3, o4, o5 = trunk_fn(g, QT(p2_i8, 0.0, p2_i8.shape[-1]))
     feats = [o.v.astype(jnp.float32) * sc
              for o, sc in zip((o3, o4, o5), q["out_scales"])]
     return _detect_heads(params["orig"], feats)
@@ -717,8 +693,9 @@ class Int8Bundle:
             depth = SCALES[self.module.scale][0]
             return _v8_raw_from_i8(params, p2_i8, depth, self.static_scales)
         if getattr(self.module, "variant", "") == "base":
-            return _v7base_raw_from_i8(params, p2_i8)
-        return _trunk_raw_from_i8(params, p2_i8)
+            return _v7_raw_from_i8(params, p2_i8, trunk_fn=_v7base_trunk,
+                                   act="silu")
+        return _v7_raw_from_i8(params, p2_i8)
 
     def _decode(self, outs):
         from aerial_image_recognition_tpu.ops.decode import (
@@ -876,15 +853,9 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
         from aerial_image_recognition_tpu.models.yolov8 import SCALES
         _v8_trunk(prep, p2, SCALES[bundle.module.scale][0])
         q = {"p2_scale": jnp.float32(p2.s), "convs": prep.qparams}
-    elif is_v7base:
-        o3, o4, o5 = _v7base_trunk(prep, p2)
-        q = {
-            "p2_scale": jnp.float32(p2.s),
-            "convs": prep.qparams,
-            "out_scales": [jnp.float32(o.s) for o in (o3, o4, o5)],
-        }
     else:
-        o3, o4, o5 = _tiny_trunk(prep, p2)
+        trunk_fn = _v7base_trunk if is_v7base else _tiny_trunk
+        o3, o4, o5 = trunk_fn(prep, p2)
         q = {
             "p2_scale": jnp.float32(p2.s),
             "convs": prep.qparams,

@@ -67,6 +67,10 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
     if quantize is not None:
         cfg.extra["quantize"] = quantize
         cfg.extra["quantize_calib"] = quantize_calib
+    elif quantize_calib is not None:
+        raise ValueError(
+            "quantize_calib given without quantize — pass quantize='int8' "
+            "(CLI --quantize int8) or drop the calibration")
     step = detect_step or build_detect_step(cfg, batch=batch,
                                             src_size=window)
     corners = list(iter_windows(h, w, window, stride))
@@ -191,10 +195,17 @@ def stitch_probability_map(gt: GeoTiff, segment_fn, params, *,
     reliable outputs, so non-overlapping tiles leave visible seams in the
     stitched mask (the classic tiling artifact). With e.g.
     stride = window // 2 every interior pixel is covered by ≥2 windows and
-    seam discontinuities average out. Default stays non-overlapping
-    (stride = window): exact previous behavior, 1× compute."""
+    seam discontinuities average out. Default is non-overlapping stepping
+    (stride = window, 1× compute); note the edge-clamped last row/column
+    (iter_windows) still overlaps its neighbor, and that strip is now
+    averaged too — previously last-write-wins, so masks on rasters whose
+    dims aren't window multiples can differ at the clamped strip."""
     h, w = gt.data.shape[:2]
     stride = stride or window
+    if stride > window:
+        raise ValueError(
+            f"stride {stride} > window {window} would leave uncovered "
+            "pixels silently scored as background")
     acc = np.zeros((h, w), np.float32)
     cnt = np.zeros((h, w), np.float32)
     corners = list(iter_windows(h, w, window, stride))
