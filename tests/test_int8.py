@@ -620,3 +620,37 @@ def test_int8_yolov7_base_matches_f32():
     conf = np.repeat(sf > 0.3, 4, -1).reshape(bf.shape)
     assert conf.any() and float(np.abs(bf - bq)[conf].max()) < 2.0
     assert float(np.corrcoef(sf.ravel(), sq.ravel())[0, 1]) > 0.999
+
+
+def test_int8_yolov8_mid_depth_matches_f32():
+    """int8 v8 at scale 'm' (depth 2/4/6 C2f stacks, width 0.75 — the
+    channel/depth resolution rules the trained-v8n parity test can't
+    exercise): decoded outputs track f32 on realistic random upstream
+    weights, pinning _v8_trunk's _n(depth) module bookkeeping across
+    scales."""
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        make_state_dict, yolov8_spec)
+    from aerial_image_recognition_tpu.models.import_torch import (
+        import_torch_state, yolov8_mapping)
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+    from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+
+    sd = make_state_dict(yolov8_spec("m"), nc=2, seed=11)
+    n_c2f = {"c2f1": 2, "c2f2": 4, "c2f3": 4, "c2f4": 2,
+             "fpn4": 2, "fpn3": 2, "pan4": 2, "pan5": 2}
+    variables = import_torch_state(sd, yolov8_mapping(n_c2f))
+    bundle = create_model("yolov8m", dtype=jnp.float32)
+    bundle.params = variables
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    qb = quantize_bundle(bundle, [imgs], model_size=64)
+    x = preprocess_batch(jnp.asarray(imgs), out_size=64, dtype=jnp.float32)
+    bf, sf = map(np.asarray, bundle.forward(bundle.params, x))
+    bq, sq = map(np.asarray, qb.forward(qb.params, x))
+    assert float(np.abs(sf - sq).max()) < 0.05
+    assert float(np.corrcoef(sf.ravel(), sq.ravel())[0, 1]) > 0.99
+    conf = np.repeat((sf.max(-1) > 0.3)[..., None], 4, -1)   # nc=2
+    if conf.any():
+        assert float(np.abs(bf - bq)[conf].max()) < 2.0
