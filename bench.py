@@ -276,7 +276,32 @@ def bench_mode(mode: str):
     print(json.dumps(out))
 
 
+def _guard_device_or_report() -> bool:
+    """jax.devices() HANGS (not fails) when the axon tunnel's claim leg is
+    wedged — observed live in round 3 (>12 h). A benchmark that hangs
+    forever records nothing; probe with a timeout (runtime/doctor.py) and
+    emit one honest JSON error line instead. Returns True when devices are
+    reachable."""
+    import jax
+
+    from aerial_image_recognition_tpu.runtime.doctor import (
+        _devices_with_timeout)
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "300"))
+    try:
+        _devices_with_timeout(jax, timeout_s)
+        return True
+    except Exception as e:
+        print(json.dumps({
+            "metric": "yolov7_itcvd_640px_tiles_per_sec_per_chip",
+            "value": 0.0, "unit": "tiles/s", "vs_baseline": 0.0,
+            "error": f"accelerator unreachable: {e}"[:300],
+        }))
+        return False
+
+
 def main():
+    if not _guard_device_or_report():
+        return 1
     if os.environ.get("BENCH_MODE"):
         return bench_mode(os.environ["BENCH_MODE"])
     if os.environ.get("BENCH_E2E"):
