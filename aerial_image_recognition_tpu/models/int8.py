@@ -79,6 +79,12 @@ def calibrate_absmax(bundle, batches: Sequence[Any],
         x = jnp.asarray(imgs)
         if x.dtype == jnp.uint8:
             x = preprocess_batch(x, out_size=size, dtype=jnp.float32)
+        elif x.shape[1] != size or x.shape[2] != size:
+            # float batches must also be calibrated at the model's input
+            # resolution — activation absmax is resolution-dependent
+            x = jax.image.resize(
+                x.astype(jnp.float32),
+                (x.shape[0], size, size, x.shape[3]), method="bilinear")
         _, mut = bundle.module.apply(
             bundle.params, x, train=False,
             capture_intermediates=True, mutable=["intermediates"])
@@ -785,8 +791,26 @@ def quantize_xunet(bundle, calib_batches: Sequence[Any],
     scales = dict(prep.scales)
     scales["__entry__"] = s_entry
     return Int8XUnetBundle(spec=bundle.spec, module=bundle.module,
-                           params={"orig": bundle.params, "q": q},
+                           params={"orig": _prune_orig(bundle.params,
+                                                       {"enc0"}),
+                                   "q": q},
                            static_scales=scales)
+
+
+def _prune_orig(variables, keep):
+    """Drop the f32/bf16 trunk weights from the 'orig' tree the quantized
+    bundle carries — the int8 graph reads only the stems, the detect
+    heads (tiny/base: detect0-2; v8: the 'detect' subtree), and (xunet)
+    enc0. Without this, build_detect_step(mesh=...) replicated the entire
+    unused trunk to every chip (~90-260 MB for v8 l/x) alongside the int8
+    kernels."""
+    return {
+        "params": {k: v for k, v in variables["params"].items()
+                   if k in keep},
+        "batch_stats": {k: v for k, v in
+                        variables.get("batch_stats", {}).items()
+                        if k in keep},
+    }
 
 
 def _family_meta(spec, module):
@@ -865,7 +889,8 @@ def quantize_bundle(bundle, calib_batches: Sequence[Any],
         q["stems"] = _quantize_stems(
             bundle.params, absmax, bn_eps=meta["bn_eps"],
             stem_names=meta["stems"], act=meta["act"])
-    params = {"orig": bundle.params, "q": q}
+    keep = set(meta["stems"]) | {"detect", "detect0", "detect1", "detect2"}
+    params = {"orig": _prune_orig(bundle.params, keep), "q": q}
     scales = dict(prep.scales)
     scales["__p2__"] = p2.s
     return Int8Bundle(spec=bundle.spec, module=bundle.module, params=params,

@@ -47,7 +47,8 @@ class CarDetector:
         (fake server + tiny model) without patching.
 
         tile_filter: optional (tiles [N,4] w/s/e/n) → boolean mask / index
-        array selecting the subset THIS process scans. The multi-host
+        array selecting the subset THIS process scans (dtype is the
+        contract: bool → per-tile mask, integer → tile indices). The multi-host
         fetch-plane sharding hook (SURVEY §2.3 DCN row): every host
         generates the identical GLOBAL grid (deterministic — resume and
         cross-host merge depend on it) and scans only its own stripe's
@@ -129,15 +130,25 @@ class CarDetector:
             if self._tile_filter is not None:
                 import numpy as _np
                 sel = _np.asarray(self._tile_filter(_np.asarray(tiles)))
-                if sel.dtype != bool and sel.shape == (len(tiles),) and \
-                        _np.isin(sel, (0, 1)).all():
-                    # an integer 0/1 per-tile array is a mask, not a list
-                    # of tile indices — treating it as indices would
-                    # silently scan only tiles 0 and 1
-                    sel = sel.astype(bool)
-                tiles = [t for t, keep in zip(
-                    tiles, sel if sel.dtype == bool else
-                    _np.isin(_np.arange(len(tiles)), sel)) if keep]
+                # dtype is the contract: bool → per-tile mask, integer →
+                # tile indices. (A value-based 0/1 heuristic misread a
+                # genuine index array [0, 1] over a 2-tile grid as a mask,
+                # and a wrong-length mask zip-truncated silently.)
+                if sel.dtype == bool:
+                    if sel.shape != (len(tiles),):
+                        raise ValueError(
+                            f"tile_filter mask shape {sel.shape} != "
+                            f"({len(tiles)},)")
+                    keep = sel
+                else:
+                    if sel.ndim != 1 or (len(sel) and
+                                         (sel.min() < 0
+                                          or sel.max() >= len(tiles))):
+                        raise ValueError(
+                            "tile_filter index array out of range "
+                            f"[0, {len(tiles)}): {sel!r}")
+                    keep = _np.isin(_np.arange(len(tiles)), sel)
+                tiles = [t for t, k in zip(tiles, keep) if k]
         self.events.emit("grid", tiles=len(tiles), bounds=list(bounds))
         fingerprint = grid_fingerprint(bounds, c.tile_size_meters,
                                        c.tile_overlap, len(tiles))

@@ -65,6 +65,10 @@ def detect_geotiff(src, *, window: int = 1200, stride: int = 600,
     cfg = DetectorConfig(model_path=model, confidence_threshold=confidence,
                          params_path=params)
     if quantize is not None:
+        if detect_step is not None:
+            raise ValueError(
+                "quantize= only applies when detect_geotiff builds the "
+                "step itself; quantize before building your detect_step")
         cfg.extra["quantize"] = quantize
         cfg.extra["quantize_calib"] = quantize_calib
     elif quantize_calib is not None:

@@ -134,6 +134,15 @@ class DetectionServer:
                 p = _Pending(image=img, bounds=bounds,
                              deadline=time.perf_counter() + 60.0)
                 server._q.put(p)
+                # TOCTOU with stop(): _stop may have been set (and the
+                # queue drained) between the check above and this put —
+                # answer such a request immediately instead of letting it
+                # sit the full wait in a queue no loop services. Benign
+                # race with a batch loop that already picked p up: the
+                # event-guard keeps the first answer.
+                if server._stop.is_set() and not p.event.is_set():
+                    p.error = p.error or "server stopping"
+                    p.event.set()
                 p.event.wait(timeout=60.0)
                 if p.result is None:
                     with server._stats_lock:
@@ -188,7 +197,8 @@ class DetectionServer:
         self._stop.set()
         # release queued waiters immediately instead of letting their
         # 60 s waits expire one by one (the handler 503s new requests
-        # once _stop is set, so the drain can't race fresh arrivals)
+        # once _stop is set, and self-answers any put that raced this
+        # drain, so no request is left in an unserviced queue)
         try:
             while True:
                 p = self._q.get_nowait()
@@ -268,8 +278,15 @@ class DetectionServer:
                 # queue stayed empty — guarantees every dispatched batch
                 # is read back, never dropped
                 if self._stop.is_set() and not self._batch_thread.is_alive():
-                    return
-                continue
+                    # the batch thread may have dispatched a final batch
+                    # between our timeout and its exit — drain once more
+                    # now that no producer exists before leaving
+                    try:
+                        item = self._inflight.get_nowait()
+                    except queue.Empty:
+                        return
+                else:
+                    continue
             group, det, bnds, t0 = item
             try:
                 recs = detections_to_records(

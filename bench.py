@@ -184,15 +184,22 @@ def bench_mode(mode: str):
                "plain_jit": round(v_plain, 2),
                "shard_map_overhead_pct": round(
                    100.0 * (1.0 - v_dp / max(v_plain, 1e-9)), 2)}
-    elif mode == "int8":
+    elif mode in ("int8", "int8_v8l"):
         # int8-trunk PTQ (models/int8.py): s8×s8→s32 convs on the MXU (2×
         # the bf16 rate on v5e) + int8 inter-layer HBM traffic. Interleaved
         # A/B against the bf16 step; accuracy parity is pinned by
-        # tests/test_int8.py on the trained fixture.
+        # tests/test_int8.py. 'int8_v8l' is the compute-bound end of the
+        # ladder: YOLOv8-l ran ~90% of the chip's measured bf16 matmul
+        # rate (STATUS.md), so the int8 MXU path is its only lever.
         from aerial_image_recognition_tpu.models.int8 import quantize_bundle
-        cfg = DetectorConfig()
-        bundle = create_model("yolov7_itcvd", dtype=jnp.bfloat16)
-        calib = [rng.integers(0, 255, (16, 640, 640, 3), dtype=np.uint8)]
+        model, calib_b = (("yolov7_itcvd", 16) if mode == "int8"
+                          else ("yolov8l", 8))
+        if mode == "int8_v8l":
+            batch = int(os.environ.get("BENCH_BATCH", "64"))
+        cfg = DetectorConfig(model_path=model)
+        bundle = create_model(model, dtype=jnp.bfloat16)
+        calib = [rng.integers(0, 255, (calib_b, 640, 640, 3),
+                              dtype=np.uint8)]
         qb = quantize_bundle(bundle, calib)
         step_q = build_detect_step(cfg, batch=batch, bundle=qb)
         step_f = build_detect_step(cfg, batch=batch, bundle=bundle)
@@ -200,29 +207,8 @@ def bench_mode(mode: str):
         for _ in range(2):
             v_q = max(v_q, measure(step_q, 640))
             v_f = max(v_f, measure(step_f, 640))
-        out = {"metric": "yolov7_itcvd_int8_640px_tiles_per_sec_per_chip",
-               "value": round(v_q, 2), "unit": "tiles/s",
-               "vs_baseline": round(v_q / baseline, 4),
-               "bf16": round(v_f, 2),
-               "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
-                                         2)}
-    elif mode == "int8_v8l":
-        # the compute-bound end of the ladder: YOLOv8-l ran ~90% of the
-        # chip's measured bf16 matmul rate (STATUS.md), so the int8 MXU
-        # path (2× rate) is the only remaining lever there
-        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
-        batch = int(os.environ.get("BENCH_BATCH", "64"))
-        cfg = DetectorConfig(model_path="yolov8l")
-        bundle = create_model("yolov8l", dtype=jnp.bfloat16)
-        calib = [rng.integers(0, 255, (8, 640, 640, 3), dtype=np.uint8)]
-        qb = quantize_bundle(bundle, calib)
-        step_q = build_detect_step(cfg, batch=batch, bundle=qb)
-        step_f = build_detect_step(cfg, batch=batch, bundle=bundle)
-        v_q = v_f = 0.0
-        for _ in range(2):
-            v_q = max(v_q, measure(step_q, 640))
-            v_f = max(v_f, measure(step_f, 640))
-        out = {"metric": "yolov8l_int8_640px_tiles_per_sec_per_chip",
+        label = "yolov7_itcvd" if mode == "int8" else "yolov8l"
+        out = {"metric": f"{label}_int8_640px_tiles_per_sec_per_chip",
                "value": round(v_q, 2), "unit": "tiles/s",
                "vs_baseline": round(v_q / baseline, 4),
                "bf16": round(v_f, 2),

@@ -28,7 +28,9 @@ def leaky(x):
     return jax.nn.leaky_relu(x, 0.1)
 
 
-def conv(x, w, stride=1, padding="SAME"):
+def conv(x, w, stride=1, padding=((1, 1), (1, 1))):
+    # default = torch k//2 padding for a 3x3 conv (ConvBN's convention
+    # since the round-3 parity fix; SAME differs for stride 2)
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -49,13 +51,13 @@ def main():
 
     def s2d(x):
         x = space_to_depth2(x)
-        x = leaky(conv(x, w0s, 1, [(0, 1), (0, 1)]) + b0.astype(x.dtype))
+        x = leaky(conv(x, w0s, 1, [(1, 0), (1, 0)]) + b0.astype(x.dtype))
         x = space_to_depth2(x)
-        return leaky(conv(x, w1s, 1, [(0, 1), (0, 1)]) + b1.astype(x.dtype))
+        return leaky(conv(x, w1s, 1, [(1, 0), (1, 0)]) + b1.astype(x.dtype))
 
     def s2d_first_only(x):
         x = space_to_depth2(x)
-        x = leaky(conv(x, w0s, 1, [(0, 1), (0, 1)]) + b0.astype(x.dtype))
+        x = leaky(conv(x, w0s, 1, [(1, 0), (1, 0)]) + b0.astype(x.dtype))
         return leaky(conv(x, w1, 2) + b1.astype(x.dtype))
 
     fns = {"std": jax.jit(std), "s2d": jax.jit(s2d),
