@@ -282,6 +282,42 @@ def yolov8_n_c2f(scale: str) -> Dict[str, int]:
             "fpn4": n3, "fpn3": n3, "pan4": n3, "pan5": n3}
 
 
+def layer_index_prefixes(model_name: str) -> Dict[int, List[str]]:
+    """Upstream yaml layer index → this framework's flax module-path
+    prefixes ('elan1/cv1', 'detect0', ...).
+
+    This is the ultralytics `freeze=[0,1,2]` addressing scheme (the
+    reference's training notebook freezes the first three yaml layers —
+    x_arch/01_train_tokyo.ipynb cell 14); reusing the same vendored index
+    tables the weight bridge is differential-tested against means freeze
+    indices stay consistent with upstream by construction."""
+    from aerial_image_recognition_tpu.models.registry import (
+        REGISTRY, resolve_model_name)
+    name = resolve_model_name(model_name)
+    family = REGISTRY[name].family
+    out: Dict[int, List[str]] = {}
+    if family == "yolov7":
+        table = _V7_BASE_CONVBN if name == "yolov7_base" else _V7_TINY_CONVBN
+        for idx, mod in table:
+            out.setdefault(idx, []).append(mod)
+        if name == "yolov7_base":
+            out[_V7_BASE_SPPCSPC_IDX] = ["sppcspc"]
+            for idx, mod in _V7_BASE_REPCONV:
+                out[idx] = [mod]
+            detect_idx = _V7_BASE_DETECT_IDX
+        else:
+            detect_idx = _V7_TINY_DETECT_IDX
+        out[detect_idx] = ["detect0", "detect1", "detect2"]
+        return out
+    if family == "yolov8":
+        for tp, mod in _v8_module_names({}):
+            out[int(tp.split(".")[1])] = [mod]
+        out[22] = ["detect"]
+        return out
+    raise KeyError(f"no upstream layer-index table for family {family!r} "
+                   f"({name})")
+
+
 def variables_from_torch_state(state_dict: Dict[str, np.ndarray],
                                model_name: str) -> Dict[str, Any]:
     """Full turnkey import: upstream torch-named {name: array} → the flax

@@ -107,6 +107,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--lr-schedule", default="constant",
                     choices=["constant", "cosine", "linear"])
     pt.add_argument("--warmup-epochs", type=float, default=0.0)
+    pt.add_argument("--freeze", default=None,
+                    help="comma list of upstream yaml layer indices and/or "
+                         "module prefixes to freeze (notebook cell 14: "
+                         "freeze=[0,1,2])")
+    pt.add_argument("--copy-paste", dest="copy_paste", type=float,
+                    default=0.0, help="copy-paste augmentation probability "
+                    "(notebook: copy_paste=True)")
+    pt.add_argument("--fliplr", type=float, default=0.0,
+                    help="horizontal-flip probability (ultralytics "
+                         "default 0.5)")
+    pt.add_argument("--flipud", type=float, default=0.0)
     pt.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                     help="EMA weight averaging, e.g. 0.9999 "
                     "(ultralytics recipe)")
@@ -305,16 +316,21 @@ def main(argv: Optional[List[str]] = None) -> int:
                                        os.path.basename(s.image_path)))
             for s in samples]
         train_s, val_s = train_val_split(samples, args.n_train)
-        lcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch)
+        lcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
+                            copy_paste=args.copy_paste,
+                            fliplr=args.fliplr, flipud=args.flipud)
         vcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
                             mosaic=0.0, mixup=0.0, hsv=0.0)
+        freeze = ([s.strip() for s in args.freeze.split(",") if s.strip()]
+                  if args.freeze else None)
         bundle = create_model(args.model, dtype=jnp.float32)
         state = fit(bundle, DetectionLoader(train_s, lcfg),
                     epochs=args.epochs, lr=args.lr,
                     eval_loader=DetectionLoader(val_s, vcfg, train=False),
                     eval_every=max(1, args.epochs // 10),
                     bn_mode=args.bn_mode, lr_schedule=args.lr_schedule,
-                    warmup_epochs=args.warmup_epochs, ema_decay=args.ema)
+                    warmup_epochs=args.warmup_epochs, ema_decay=args.ema,
+                    freeze=freeze)
         history = state.pop("history")
         save_params({"params": state.get("ema_params", state["params"]),
                      "batch_stats": state["batch_stats"]}, args.out)

@@ -150,6 +150,88 @@ def hsv_jitter(img: np.ndarray, rng: np.random.Generator,
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _ioa(box: np.ndarray, others: np.ndarray) -> np.ndarray:
+    """Intersection of `box` with each of `others`, over the OTHERS' area
+    (ultralytics bbox_ioa — 'how much of the existing object would the
+    paste cover')."""
+    x1, y1, x2, y2 = box
+    ox1 = others[:, 1] - others[:, 3] / 2
+    oy1 = others[:, 2] - others[:, 4] / 2
+    ox2 = others[:, 1] + others[:, 3] / 2
+    oy2 = others[:, 2] + others[:, 4] / 2
+    iw = np.maximum(0.0, np.minimum(x2, ox2) - np.maximum(x1, ox1))
+    ih = np.maximum(0.0, np.minimum(y2, oy2) - np.maximum(y1, oy1))
+    area = np.maximum((ox2 - ox1) * (oy2 - oy1), 1e-9)
+    return iw * ih / area
+
+
+def copy_paste(img: np.ndarray, boxes: np.ndarray,
+               donor_img: np.ndarray, donor_boxes: np.ndarray,
+               rng: np.random.Generator, *, max_paste: int = 8,
+               max_overlap: float = 0.3, tries: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Copy-paste augmentation (notebook cell 14 trains with
+    copy_paste=True — x_arch/01_train_tokyo.ipynb). Ultralytics pastes
+    segment masks; with box-only labels the labeled pixel set IS the box
+    rectangle, so the paste unit here is the donor's labeled rect.
+
+    Both box sets are [N,5] cls,cx,cy,w,h in PIXELS of their own image.
+    Each donor rect (up to max_paste, shuffled) is pasted at a uniformly
+    random position where it covers no existing or already-pasted box by
+    more than `max_overlap` of that box's area (so pastes never bury a
+    real label); positions are retried `tries` times then the rect is
+    skipped. Returns (new image, boxes with pasted labels appended).
+    """
+    if len(donor_boxes) == 0:
+        return img, boxes
+    h, w = img.shape[:2]
+    out = img.copy()
+    cur = boxes.copy()
+    order = rng.permutation(len(donor_boxes))[:max_paste]
+    added = []
+    for di in order:
+        cls, cx, cy, bw, bh = donor_boxes[di]
+        x1 = int(round(cx - bw / 2)); y1 = int(round(cy - bh / 2))
+        x2 = int(round(cx + bw / 2)); y2 = int(round(cy + bh / 2))
+        x1, x2 = max(0, x1), min(donor_img.shape[1], x2)
+        y1, y2 = max(0, y1), min(donor_img.shape[0], y2)
+        pw, ph = x2 - x1, y2 - y1
+        if pw < 2 or ph < 2 or pw >= w or ph >= h:
+            continue
+        patch = donor_img[y1:y2, x1:x2]
+        for _ in range(tries):
+            px = int(rng.integers(0, w - pw))
+            py = int(rng.integers(0, h - ph))
+            cand = np.asarray([px, py, px + pw, py + ph], np.float32)
+            if len(cur) and float(_ioa(cand, cur).max()) > max_overlap:
+                continue
+            out[py:py + ph, px:px + pw] = patch
+            new = np.asarray([cls, px + pw / 2, py + ph / 2, pw, ph],
+                             np.float32)
+            cur = np.concatenate([cur, new[None]], axis=0)
+            added.append(new)
+            break
+    return out, cur.astype(np.float32)
+
+
+def flip_boxes(img: np.ndarray, boxes: np.ndarray, *, lr: bool = False,
+               ud: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Horizontal/vertical flip of an image and its pixel-space cxcywh
+    boxes (the ultralytics fliplr/flipud transforms — defaults
+    fliplr=0.5/flipud=0.0 in the recipe the reference trained under)."""
+    h, w = img.shape[:2]
+    b = boxes.copy()
+    if lr:
+        img = img[:, ::-1]
+        if len(b):
+            b[:, 1] = w - b[:, 1]
+    if ud:
+        img = img[::-1]
+        if len(b):
+            b[:, 2] = h - b[:, 2]
+    return np.ascontiguousarray(img), b
+
+
 @dataclass
 class LoaderConfig:
     image_size: int = 640
@@ -158,6 +240,12 @@ class LoaderConfig:
     mosaic: float = 1.0          # probability (notebook: mosaic=1.0)
     mixup: float = 0.5           # probability (notebook: mixup=0.5)
     hsv: float = 0.5
+    # the rest of the notebook recipe (cell 14 / ultralytics defaults);
+    # OFF by default to preserve the validated round-1 recipe exactly
+    # (the knobs draw no rng when 0, so existing streams are unchanged)
+    copy_paste: float = 0.0      # probability (notebook: copy_paste=True)
+    fliplr: float = 0.0          # probability (ultralytics default 0.5)
+    flipud: float = 0.0          # probability (ultralytics default 0.0)
     seed: int = 0
 
 
@@ -215,6 +303,19 @@ class DetectionLoader:
                 if len(b2):
                     b2[:, 1:] *= s
                 img, boxes = mixup(img, boxes, img2, b2, rng)
+            if (self.train and cfg.copy_paste > 0.0
+                    and rng.random() < cfg.copy_paste
+                    and len(self.samples) > 1):
+                j = int(rng.integers(0, len(self.samples)))
+                dimg, dnb = self._load_resized(self.samples[j], s)
+                db = dnb.copy()
+                if len(db):
+                    db[:, 1:] *= s
+                img, boxes = copy_paste(img, boxes, dimg, db, rng)
+            if self.train and cfg.fliplr > 0.0 and rng.random() < cfg.fliplr:
+                img, boxes = flip_boxes(img, boxes, lr=True)
+            if self.train and cfg.flipud > 0.0 and rng.random() < cfg.flipud:
+                img, boxes = flip_boxes(img, boxes, ud=True)
             if self.train and rng.random() < cfg.hsv:
                 img = hsv_jitter(img, rng)
 

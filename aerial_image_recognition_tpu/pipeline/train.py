@@ -32,10 +32,73 @@ class TrainState:
     step: int = 0
 
 
+def resolve_freeze_prefixes(bundle: ModelBundle, freeze) -> tuple:
+    """Normalize a `freeze` spec into flax param-path prefixes.
+
+    Accepts the ultralytics addressing the reference trained with
+    (notebook cell 14: freeze=[0,1,2] — upstream yaml layer indices,
+    resolved through the same vendored index tables the weight bridge
+    uses) and/or explicit module-path prefixes ('stem0', 'elan1/cv1').
+    Indices absent from the table address parameterless layers (maxpool/
+    upsample/concat) and are no-ops, exactly as in ultralytics.
+    """
+    if not freeze:
+        return ()
+    prefixes = []
+    index_table = None
+    for item in freeze:
+        if isinstance(item, str) and not item.isdigit():
+            prefixes.append(item)
+            continue
+        if index_table is None:
+            from aerial_image_recognition_tpu.models.import_torch import (
+                layer_index_prefixes)
+            index_table = layer_index_prefixes(bundle.spec.name)
+        prefixes.extend(index_table.get(int(item), []))
+    return tuple(prefixes)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "idx", k))))
+    return "/".join(parts)
+
+
+def _freeze_mask(params, prefixes) -> Any:
+    """Pytree of bools matching `params`: True = trainable. A leaf is
+    frozen when its path starts with any prefix. Consumed by
+    make_optimizer via optax.multi_transform + set_to_zero — frozen
+    leaves get a literal zero update (NOT optax.masked, whose masked-out
+    leaves pass raw gradients through as updates), so neither gradients
+    nor adamw weight decay ever touch them."""
+    pref = tuple(p.split("/") for p in prefixes)
+
+    def trainable(path, _leaf):
+        parts = _path_str(path).split("/")
+        return not any(parts[:len(p)] == list(p) for p in pref)
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def _restore_frozen_stats(old_stats, new_stats, prefixes):
+    """batch-mode BN in frozen layers must not update its running
+    statistics either (ultralytics puts frozen modules in eval mode)."""
+    pref = tuple(p.split("/") for p in prefixes)
+
+    def pick(path, new, old):
+        parts = _path_str(path).split("/")
+        frozen = any(parts[:len(p)] == list(p) for p in pref)
+        return old if frozen else new
+
+    return jax.tree_util.tree_map_with_path(pick, new_stats, old_stats)
+
+
 def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4,
                    total_steps: Optional[int] = None,
                    warmup_steps: int = 0, schedule: str = "constant",
-                   final_lr_frac: float = 0.01):
+                   final_lr_frac: float = 0.01,
+                   param_mask: Any = None):
     """lr0=1e-4 matches the notebook's training config (01_train_tokyo
     cell 14). schedule: 'constant' (round-1 behavior), 'cosine' or 'linear'
     — the ultralytics recipe the reference trained with is a 3-epoch warmup
@@ -64,10 +127,16 @@ def make_optimizer(lr: float = 1e-4, weight_decay: float = 5e-4,
         else:
             raise ValueError(f"unknown schedule {schedule!r}")
         lr = sched
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(10.0),
         optax.adamw(lr, weight_decay=weight_decay),
     )
+    if param_mask is not None:
+        labels = jax.tree_util.tree_map(
+            lambda trainable: "train" if trainable else "freeze", param_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
+    return tx
 
 
 def resolve_bn_mode(bundle: ModelBundle, bn_mode: str) -> str:
@@ -95,7 +164,8 @@ def make_train_step(bundle: ModelBundle, tx,
                     loss_kwargs: Optional[Dict] = None,
                     bn_mode: str = "auto",
                     remat: bool = False,
-                    ema_decay: float = 0.0) -> Callable:
+                    ema_decay: float = 0.0,
+                    freeze=None) -> Callable:
     """Returns jitted (state, images_u8 [B,S,S,3], targets [B,T,5]) → (state, metrics).
 
     Under a mesh, images/targets arrive sharded on dim 0 and XLA inserts the
@@ -110,6 +180,7 @@ def make_train_step(bundle: ModelBundle, tx,
     module = bundle.module
     spec = bundle.spec
     bn_mode = resolve_bn_mode(bundle, bn_mode)
+    freeze_prefixes = resolve_freeze_prefixes(bundle, freeze)
 
     def _forward_frozen(params, batch_stats, x):
         return module.apply({"params": params, "batch_stats": batch_stats},
@@ -153,6 +224,9 @@ def make_train_step(bundle: ModelBundle, tx,
         batch_stats = state["batch_stats"]
         (loss, (metrics, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, images_u8, targets)
+        if freeze_prefixes and bn_mode != "frozen":
+            new_bs = _restore_frozen_stats(batch_stats, new_bs,
+                                           freeze_prefixes)
         updates, new_opt = tx.update(grads, state["opt_state"], params)
         new_params = optax.apply_updates(params, updates)
         metrics = dict(metrics, loss=loss)
@@ -244,7 +318,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
         loss_kwargs: Optional[Dict] = None,
         lr_schedule: str = "constant", warmup_epochs: float = 0.0,
-        final_lr_frac: float = 0.01, ema_decay: float = 0.0) -> Dict:
+        final_lr_frac: float = 0.01, ema_decay: float = 0.0,
+        freeze=None) -> Dict:
     """Train a detector: notebook-workflow parity
     (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
     loader config) with in-framework mAP validation (cell 22).
@@ -261,6 +336,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     prefer 'ema_params' when present. Both default OFF to preserve the
     validated round-1 recipe.
 
+    freeze: list of upstream yaml layer indices and/or flax module-path
+    prefixes to exclude from training entirely (no optimizer update, no
+    weight decay, no BN-statistic drift) — the notebook fine-tunes with
+    freeze=[0,1,2] (cell 14). See `resolve_freeze_prefixes`.
+
     Returns the final state dict ({'params','batch_stats',...}); pass
     {'params': ..., 'batch_stats': ...} to inference functions or
     models.registry.save_params to persist.
@@ -269,8 +349,13 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
 
     import numpy as np
 
+    param_mask = None
+    if freeze:
+        param_mask = _freeze_mask(
+            bundle.params["params"],
+            resolve_freeze_prefixes(bundle, freeze))
     if lr_schedule == "constant" and not warmup_epochs:
-        tx = make_optimizer(lr=lr)
+        tx = make_optimizer(lr=lr, param_mask=param_mask)
     else:
         # duck-typed loaders can expose steps_per_epoch directly; the
         # standard DetectionLoader derives it from samples/batch
@@ -287,11 +372,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
             lr=lr, schedule=lr_schedule,
             total_steps=steps_per_epoch * epochs,
             warmup_steps=int(round(warmup_epochs * steps_per_epoch)),
-            final_lr_frac=final_lr_frac)
+            final_lr_frac=final_lr_frac, param_mask=param_mask)
     bn_mode = resolve_bn_mode(bundle, bn_mode)
     step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
                               remat=remat, loss_kwargs=loss_kwargs,
-                              ema_decay=ema_decay)
+                              ema_decay=ema_decay, freeze=freeze)
     state = init_train_state(bundle, tx, ema_decay=ema_decay)
     start_epoch = 0
     if ckpt_dir:

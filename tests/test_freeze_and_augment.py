@@ -1,0 +1,186 @@
+"""Layer freezing (notebook cell 14: freeze=[0,1,2]) + the remaining
+ultralytics augmentations (copy_paste / fliplr / flipud).
+
+Reference: x_arch/01_train_tokyo.ipynb trains with freeze=[0,1,2],
+copy_paste=True and the ultralytics default fliplr=0.5; round 3 adds
+these to close the training-recipe parity gap.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from aerial_image_recognition_tpu.models.import_torch import (
+    layer_index_prefixes,
+)
+from aerial_image_recognition_tpu.models.registry import create_model
+from aerial_image_recognition_tpu.pipeline.data import (
+    copy_paste, flip_boxes,
+)
+from aerial_image_recognition_tpu.pipeline.train import (
+    _freeze_mask, init_train_state, make_optimizer, make_train_step,
+    resolve_freeze_prefixes,
+)
+
+
+# ------------------------------------------------------- augmentations
+
+def test_copy_paste_appends_label_and_pixels(rng):
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.asarray([[0, 8, 8, 8, 8]], np.float32)
+    donor = np.full((64, 64, 3), 200, np.uint8)
+    donor_boxes = np.asarray([[0, 40, 40, 10, 6]], np.float32)
+    out, nb = copy_paste(img, boxes, donor, donor_boxes, rng)
+    assert nb.shape == (2, 5)
+    cls, cx, cy, w, h = nb[1]
+    assert (w, h) == (10.0, 6.0) and cls == 0.0
+    # the pasted rect's pixels really are the donor's
+    x1, y1 = int(cx - w / 2), int(cy - h / 2)
+    patch = out[y1:y1 + 6, x1:x1 + 10]
+    assert (patch == 200).all()
+    # and nothing outside any labeled rect changed
+    assert out.sum() == patch.sum()
+
+
+def test_copy_paste_never_buries_existing_labels(rng):
+    # one existing box covering the whole image: any paste would cover it
+    # far beyond max_overlap of ITS area? No — a 10x6 paste covers only
+    # 60/4096 of it. Use many small existing boxes tiling the image so
+    # every candidate position overlaps one of them heavily.
+    img = np.zeros((64, 64, 3), np.uint8)
+    cells = [[0, x + 4, y + 4, 8, 8]
+             for x in range(0, 64, 8) for y in range(0, 64, 8)]
+    boxes = np.asarray(cells, np.float32)
+    donor = np.full((64, 64, 3), 200, np.uint8)
+    donor_boxes = np.asarray([[0, 32, 32, 32, 32]], np.float32)
+    out, nb = copy_paste(img, boxes, donor, donor_boxes, rng,
+                         max_overlap=0.05, tries=25)
+    # every 32x32 placement covers some 8x8 cell >5% of its area → skipped
+    assert len(nb) == len(boxes)
+    assert (out == img).all()
+
+
+def test_copy_paste_empty_donor_is_identity(rng):
+    img = np.zeros((16, 16, 3), np.uint8)
+    boxes = np.zeros((0, 5), np.float32)
+    out, nb = copy_paste(img, boxes, img, np.zeros((0, 5), np.float32), rng)
+    assert out is img and nb is boxes
+
+
+def test_flip_boxes_lr_ud_roundtrip(rng):
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    boxes = np.asarray([[0, 10.0, 5.0, 8.0, 6.0],
+                        [1, 40.0, 30.0, 4.0, 2.0]], np.float32)
+    fl, bl = flip_boxes(img, boxes, lr=True)
+    assert (fl == img[:, ::-1]).all()
+    np.testing.assert_allclose(bl[:, 1], 48.0 - boxes[:, 1])
+    np.testing.assert_allclose(bl[:, [0, 2, 3, 4]], boxes[:, [0, 2, 3, 4]])
+    fu, bu = flip_boxes(img, boxes, ud=True)
+    assert (fu == img[::-1]).all()
+    np.testing.assert_allclose(bu[:, 2], 32.0 - boxes[:, 2])
+    # involution: flipping twice restores image and boxes
+    f2, b2 = flip_boxes(fl, bl, lr=True)
+    assert (f2 == img).all()
+    np.testing.assert_allclose(b2, boxes)
+
+
+# --------------------------------------------------------- freeze spec
+
+def test_layer_index_prefixes_v7_tiny():
+    table = layer_index_prefixes("yolov7_itcvd")
+    assert table[0] == ["stem0"] and table[1] == ["stem1"]
+    assert table[2] == ["elan1/cv1"]
+    assert 6 not in table            # maxpool: parameterless, no entry
+    assert table[77] == ["detect0", "detect1", "detect2"]
+
+
+def test_layer_index_prefixes_v7_base_and_v8():
+    base = layer_index_prefixes("yolov7_base")
+    assert base[51] == ["sppcspc"] and base[102] == ["rep3"]
+    assert base[105] == ["detect0", "detect1", "detect2"]
+    v8 = layer_index_prefixes("yolov8n")
+    assert v8[0] == ["stem"] and v8[9] == ["sppf"] and v8[22] == ["detect"]
+
+
+def test_resolve_freeze_prefixes_mixed():
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    got = resolve_freeze_prefixes(bundle, [0, "1", "elan2/cv1", 6])
+    assert got == ("stem0", "stem1", "elan2/cv1")
+    assert resolve_freeze_prefixes(bundle, None) == ()
+    assert resolve_freeze_prefixes(bundle, []) == ()
+
+
+# ----------------------------------------------------- train-step semantics
+
+def _flat(tree):
+    return {jax.tree_util.keystr(p): np.asarray(v) for p, v in
+            jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+@pytest.mark.parametrize("bn_mode", ["frozen", "batch"])
+def test_freeze_train_step(rng, bn_mode):
+    """freeze=[0,1,2]: stem0/stem1/elan1.cv1 get NO update (params frozen
+    byte-identical, incl. no weight decay) and in batch mode their BN
+    running statistics do not drift either; everything else trains."""
+    freeze = [0, 1, 2]
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    mask = _freeze_mask(bundle.params["params"],
+                        resolve_freeze_prefixes(bundle, freeze))
+    tx = make_optimizer(lr=1e-2, param_mask=mask)
+    step = make_train_step(bundle, tx, bn_mode=bn_mode, freeze=freeze)
+    state = init_train_state(bundle, tx)
+    p0 = _flat(state["params"])
+    bs0 = _flat(state["batch_stats"])
+    images = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3),
+                                      dtype=np.uint8))
+    targets = np.full((2, 8, 5), -1.0, np.float32)
+    targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+    state, m = step(state, images, jnp.asarray(targets))
+    assert np.isfinite(float(m["loss"]))
+    p1 = _flat(state["params"])
+    bs1 = _flat(state["batch_stats"])
+
+    def is_frozen(k):
+        return (k.startswith("['stem0']") or k.startswith("['stem1']")
+                or k.startswith("['elan1']['cv1']"))
+
+    frozen = [k for k in p0 if is_frozen(k)]
+    live = [k for k in p0 if not is_frozen(k)]
+    assert frozen and live
+    for k in frozen:
+        np.testing.assert_array_equal(p0[k], p1[k], err_msg=k)
+    assert any(not np.array_equal(p0[k], p1[k]) for k in live)
+    for k in bs0:
+        if is_frozen(k):
+            np.testing.assert_array_equal(bs0[k], bs1[k], err_msg=k)
+    if bn_mode == "batch":
+        assert any(is_frozen(k) for k in bs0)
+        assert any(not np.array_equal(bs0[k], bs1[k])
+                   for k in bs0 if not is_frozen(k))
+
+
+def test_fit_freeze_smoke(rng):
+    """fit(freeze=...) end to end on one batch — the CLI path."""
+    from aerial_image_recognition_tpu.pipeline.train import fit
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    s0 = _flat(bundle.params["params"])
+    state = fit(bundle, OneBatchLoader(), epochs=2, lr=1e-2,
+                freeze=[0, 1, "elan1/cv1"])
+    s1 = _flat(state["params"])
+    for k in s0:
+        if (k.startswith("['stem0']") or k.startswith("['stem1']")
+                or k.startswith("['elan1']['cv1']")):
+            np.testing.assert_array_equal(s0[k], s1[k], err_msg=k)
+    assert any(not np.array_equal(s0[k], s1[k]) for k in s1)
