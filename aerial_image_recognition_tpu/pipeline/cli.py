@@ -118,6 +118,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="horizontal-flip probability (ultralytics "
                          "default 0.5)")
     pt.add_argument("--flipud", type=float, default=0.0)
+    pt.add_argument("--patience", type=int, default=0,
+                    help="early stopping: epochs without fitness "
+                         "improvement (notebook cell 14: patience=40); "
+                         "0 disables")
     pt.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                     help="EMA weight averaging, e.g. 0.9999 "
                     "(ultralytics recipe)")
@@ -330,11 +334,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                     eval_every=max(1, args.epochs // 10),
                     bn_mode=args.bn_mode, lr_schedule=args.lr_schedule,
                     warmup_epochs=args.warmup_epochs, ema_decay=args.ema,
-                    freeze=freeze)
+                    freeze=freeze, patience=args.patience or None)
         history = state.pop("history")
-        save_params({"params": state.get("ema_params", state["params"]),
-                     "batch_stats": state["batch_stats"]}, args.out)
-        print(json.dumps({"checkpoint": args.out, "final": history[-1]}))
+        # the weights to deploy: best-fitness epoch when eval tracked one
+        # (ultralytics best.pt), else the final (EMA when enabled) weights
+        best = state.get("best")
+        if best is not None:
+            save_params({"params": best["params"],
+                         "batch_stats": best["batch_stats"]}, args.out)
+        else:
+            save_params({"params": state.get("ema_params", state["params"]),
+                         "batch_stats": state["batch_stats"]}, args.out)
+        out = {"checkpoint": args.out, "final": history[-1]}
+        if best is not None:
+            out["best"] = {"epoch": best["epoch"],
+                           "fitness": best["fitness"]}
+        print(json.dumps(out))
         return 0
 
     if args.command == "geotiff":

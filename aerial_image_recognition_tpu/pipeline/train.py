@@ -319,7 +319,7 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         loss_kwargs: Optional[Dict] = None,
         lr_schedule: str = "constant", warmup_epochs: float = 0.0,
         final_lr_frac: float = 0.01, ema_decay: float = 0.0,
-        freeze=None) -> Dict:
+        freeze=None, patience: Optional[int] = None) -> Dict:
     """Train a detector: notebook-workflow parity
     (01_train_tokyo.ipynb cell 14: epochs/lr0/augment recipe live in the
     loader config) with in-framework mAP validation (cell 22).
@@ -340,6 +340,16 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     prefixes to exclude from training entirely (no optimizer update, no
     weight decay, no BN-statistic drift) — the notebook fine-tunes with
     freeze=[0,1,2] (cell 14). See `resolve_freeze_prefixes`.
+
+    patience: early stopping (notebook cell 14: patience=40) — stop when
+    `patience` epochs pass without the fitness metric improving. Fitness
+    is the ultralytics composite 0.1·mAP50 + 0.9·mAP50-95, computed at
+    every eval (so eval_every must divide into the patience window for
+    counting to be meaningful). Whenever eval runs, the best weights so
+    far are retained host-side and returned under state['best']
+    ({'params','batch_stats','epoch','fitness'} — the analogue of
+    ultralytics best.pt, EMA weights when EMA is on); tracking happens
+    with or without patience.
 
     Returns the final state dict ({'params','batch_stats',...}); pass
     {'params': ..., 'batch_stats': ...} to inference functions or
@@ -406,6 +416,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
     history = []
+    best = None
+    best_epoch = start_epoch - 1
     for epoch in range(start_epoch, epochs):
         losses = []
         for images, targets in loader.epoch(epoch):
@@ -425,6 +437,14 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                 state = recalibrate_bn(bundle, state, loader, passes=1)
             row.update(evaluate(bundle, state, eval_loader,
                                 conf_threshold=conf_threshold))
+            # ultralytics fitness: 0.1·mAP50 + 0.9·mAP50-95
+            row["fitness"] = (0.1 * row["mAP50"] + 0.9 * row["mAP50_95"])
+            if best is None or row["fitness"] > best["fitness"]:
+                best_epoch = epoch
+                best = {"params": jax.device_get(
+                            state.get("ema_params", state["params"])),
+                        "batch_stats": jax.device_get(state["batch_stats"]),
+                        "epoch": epoch, "fitness": row["fitness"]}
         history.append(row)
         log_fn(f"epoch {epoch}: " + ", ".join(
             f"{k}={v:.4f}" for k, v in row.items() if k != "epoch"))
@@ -433,8 +453,16 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                 save_train_state)
             save_train_state(state, os.path.join(ckpt_dir,
                                                  f"epoch_{epoch}"))
+        if (patience and best is not None
+                and epoch - best_epoch >= patience):
+            log_fn(f"early stop at epoch {epoch}: fitness "
+                   f"{best['fitness']:.4f} has not improved since epoch "
+                   f"{best_epoch} (patience {patience})")
+            break
     if bn_mode == "batch" and epochs > start_epoch:
         state = recalibrate_bn(bundle, state, loader, passes=2)
+    if best is not None:
+        state["best"] = best
     state["history"] = history
     return state
 

@@ -160,6 +160,49 @@ def test_freeze_train_step(rng, bn_mode):
                    for k in bs0 if not is_frozen(k))
 
 
+def test_fit_patience_early_stop_and_best(rng, monkeypatch):
+    """patience (notebook cell 14: patience=40): training stops after N
+    non-improving evals and state['best'] holds the best-fitness epoch's
+    weights (the ultralytics best.pt analogue)."""
+    import aerial_image_recognition_tpu.pipeline.train as T
+
+    maps = iter([(0.5, 0.4), (0.9, 0.8), (0.3, 0.2), (0.3, 0.2),
+                 (0.3, 0.2), (0.3, 0.2)])
+
+    def fake_evaluate(bundle, state, loader, conf_threshold=0.25):
+        m50, m5095 = next(maps)
+        return {"mAP50": m50, "mAP50_95": m5095}
+
+    monkeypatch.setattr(T, "evaluate", fake_evaluate)
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    loader = OneBatchLoader()
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    logs = []
+    state = T.fit(bundle, loader, epochs=10, lr=1e-2, eval_loader=loader,
+                  eval_every=1, patience=2, log_fn=logs.append)
+    # best at epoch 1 (fitness .1*.9+.9*.8=0.81), stop at epoch 3
+    hist = state["history"]
+    assert len(hist) == 4
+    assert hist[1]["fitness"] == pytest.approx(0.81)
+    assert any("early stop at epoch 3" in m for m in logs)
+    best = state["best"]
+    assert best["epoch"] == 1 and best["fitness"] == pytest.approx(0.81)
+    # the retained weights are the epoch-1 snapshot, not the final ones
+    b = _flat(best["params"])
+    f = _flat(state["params"])
+    assert any(not np.array_equal(b[k], f[k]) for k in b)
+
+
 def test_fit_freeze_smoke(rng):
     """fit(freeze=...) end to end on one batch — the CLI path."""
     from aerial_image_recognition_tpu.pipeline.train import fit
