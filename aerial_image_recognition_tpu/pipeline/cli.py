@@ -118,6 +118,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="horizontal-flip probability (ultralytics "
                          "default 0.5)")
     pt.add_argument("--flipud", type=float, default=0.0)
+    pt.add_argument("--close-mosaic", dest="close_mosaic", type=int,
+                    default=0, help="disable mosaic/mixup/copy-paste for "
+                    "the last N epochs (ultralytics default 10)")
     pt.add_argument("--patience", type=int, default=0,
                     help="early stopping: epochs without fitness "
                          "improvement (notebook cell 14: patience=40); "
@@ -322,7 +325,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         train_s, val_s = train_val_split(samples, args.n_train)
         lcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
                             copy_paste=args.copy_paste,
-                            fliplr=args.fliplr, flipud=args.flipud)
+                            fliplr=args.fliplr, flipud=args.flipud,
+                            close_mosaic=args.close_mosaic)
         vcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
                             mosaic=0.0, mixup=0.0, hsv=0.0)
         freeze = ([s.strip() for s in args.freeze.split(",") if s.strip()]

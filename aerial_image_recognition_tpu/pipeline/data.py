@@ -246,6 +246,11 @@ class LoaderConfig:
     copy_paste: float = 0.0      # probability (notebook: copy_paste=True)
     fliplr: float = 0.0          # probability (ultralytics default 0.5)
     flipud: float = 0.0          # probability (ultralytics default 0.0)
+    # disable mosaic/mixup/copy_paste for the last N epochs (ultralytics
+    # close_mosaic, default 10 upstream): the final epochs see clean
+    # single images so BN stats and the detector settle on the real data
+    # distribution. Needs total_epochs (pipeline.train.fit sets it).
+    close_mosaic: int = 0
     seed: int = 0
 
 
@@ -283,9 +288,18 @@ class DetectionLoader:
         rng = np.random.default_rng(cfg.seed + epoch_idx)
         order = rng.permutation(len(self.samples))
         s = cfg.image_size
+        # ultralytics close_mosaic window: the composite augmentations
+        # (mosaic/mixup/copy_paste) switch off for the final epochs;
+        # flips/hsv stay on (matching upstream's close_dataloader_mosaic)
+        total = getattr(self, "total_epochs", 0)
+        closing = (cfg.close_mosaic > 0 and total > 0
+                   and epoch_idx >= total - cfg.close_mosaic)
+        mosaic_p = 0.0 if closing else cfg.mosaic
+        mixup_p = 0.0 if closing else cfg.mixup
+        paste_p = 0.0 if closing else cfg.copy_paste
         batch_imgs, batch_tgts = [], []
         for i in order:
-            if self.train and rng.random() < cfg.mosaic:
+            if self.train and rng.random() < mosaic_p:
                 picks = [self.samples[j] for j in
                          rng.integers(0, len(self.samples), 3)]
                 imgs, bxs = zip(*[self._load_resized(x, s)
@@ -296,15 +310,15 @@ class DetectionLoader:
                 boxes = nb.copy()
                 if len(boxes):
                     boxes[:, 1:] *= s       # normalized → pixels
-            if self.train and rng.random() < cfg.mixup and len(self.samples) > 1:
+            if self.train and rng.random() < mixup_p and len(self.samples) > 1:
                 j = int(rng.integers(0, len(self.samples)))
                 img2, nb2 = self._load_resized(self.samples[j], s)
                 b2 = nb2.copy()
                 if len(b2):
                     b2[:, 1:] *= s
                 img, boxes = mixup(img, boxes, img2, b2, rng)
-            if (self.train and cfg.copy_paste > 0.0
-                    and rng.random() < cfg.copy_paste
+            if (self.train and paste_p > 0.0
+                    and rng.random() < paste_p
                     and len(self.samples) > 1):
                 j = int(rng.integers(0, len(self.samples)))
                 dimg, dnb = self._load_resized(self.samples[j], s)

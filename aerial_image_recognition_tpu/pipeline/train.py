@@ -359,6 +359,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
 
     import numpy as np
 
+    if getattr(getattr(loader, "cfg", None), "close_mosaic", 0):
+        # the loader needs the horizon to know when the close_mosaic
+        # window starts (ultralytics: last N epochs run without the
+        # composite augmentations)
+        loader.total_epochs = epochs
     param_mask = None
     if freeze:
         param_mask = _freeze_mask(

@@ -85,6 +85,34 @@ def test_flip_boxes_lr_ud_roundtrip(rng):
     np.testing.assert_allclose(b2, boxes)
 
 
+def test_close_mosaic_window(rng):
+    """close_mosaic=N (ultralytics): the composite augmentations switch
+    off for the last N epochs — single images with exactly their own
+    labels — while earlier epochs keep the mosaic recipe."""
+    from aerial_image_recognition_tpu.pipeline.data import (
+        DetectionLoader, LoaderConfig, Sample,
+    )
+
+    def decode(path):
+        return np.full((32, 32, 3), 100, np.uint8)
+
+    # one centered box per sample → a mosaic composite carries up to 4
+    samples = [Sample(image_path=f"s{i}.png",
+                      boxes=np.asarray([[0, .5, .5, .4, .4]], np.float32))
+               for i in range(8)]
+    cfg = LoaderConfig(image_size=32, batch_size=4, mosaic=1.0, mixup=0.0,
+                       hsv=0.0, close_mosaic=1, seed=3)
+    loader = DetectionLoader(samples, cfg, decode_fn=decode)
+    loader.total_epochs = 2
+
+    def valid_counts(epoch_idx):
+        return [int((t[:, 0] >= 0).sum())
+                for _, tg in loader.epoch(epoch_idx) for t in tg]
+
+    assert max(valid_counts(0)) > 1      # mosaic active: composite labels
+    assert valid_counts(1) == [1] * 8    # closing window: clean singles
+
+
 # --------------------------------------------------------- freeze spec
 
 def test_layer_index_prefixes_v7_tiny():
