@@ -121,6 +121,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--close-mosaic", dest="close_mosaic", type=int,
                     default=0, help="disable mosaic/mixup/copy-paste for "
                     "the last N epochs (ultralytics default 10)")
+    pt.add_argument("--scale", type=float, default=0.0,
+                    help="random affine scale range (upstream default 0.5)")
+    pt.add_argument("--translate", type=float, default=0.0,
+                    help="random affine translate range (upstream 0.1)")
     pt.add_argument("--patience", type=int, default=0,
                     help="early stopping: epochs without fitness "
                          "improvement (notebook cell 14: patience=40); "
@@ -326,7 +330,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         lcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
                             copy_paste=args.copy_paste,
                             fliplr=args.fliplr, flipud=args.flipud,
-                            close_mosaic=args.close_mosaic)
+                            close_mosaic=args.close_mosaic,
+                            scale=args.scale, translate=args.translate)
         vcfg = LoaderConfig(image_size=args.imgsz, batch_size=args.batch,
                             mosaic=0.0, mixup=0.0, hsv=0.0)
         freeze = ([s.strip() for s in args.freeze.split(",") if s.strip()]

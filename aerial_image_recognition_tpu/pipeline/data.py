@@ -214,6 +214,57 @@ def copy_paste(img: np.ndarray, boxes: np.ndarray,
     return out, cur.astype(np.float32)
 
 
+def random_scale_translate(img: np.ndarray, boxes: np.ndarray,
+                           rng: np.random.Generator, *,
+                           scale: float = 0.5, translate: float = 0.1,
+                           fill: int = 114
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Random scale + translation (the affine part of ultralytics
+    random_perspective with its default degrees=0/shear=0/perspective=0 —
+    the hyperparameters the reference's checkpoints trained under; cell
+    14 leaves them at defaults scale=0.5, translate=0.1).
+
+    The image is resized by f ~ U(1−scale, 1+scale) and pasted on a
+    same-size canvas (gray 114 fill, as upstream) with its center moved
+    to U(0.5±translate)·size. Boxes (pixel cxcywh) are transformed,
+    clipped, and filtered by upstream's box_candidates rule (≥2 px sides,
+    ≥10% of the scaled area survives the clip).
+    """
+    from PIL import Image
+    h, w = img.shape[:2]
+    f = float(rng.uniform(1.0 - scale, 1.0 + scale))
+    nw, nh = max(1, int(round(w * f))), max(1, int(round(h * f)))
+    resized = np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                     Image.BILINEAR))
+    cx = rng.uniform(0.5 - translate, 0.5 + translate) * w
+    cy = rng.uniform(0.5 - translate, 0.5 + translate) * h
+    tx = int(round(cx - nw / 2))
+    ty = int(round(cy - nh / 2))
+    out = np.full_like(img, fill)
+    sx1, sy1 = max(0, -tx), max(0, -ty)
+    dx1, dy1 = max(0, tx), max(0, ty)
+    cw = min(nw - sx1, w - dx1)
+    ch = min(nh - sy1, h - dy1)
+    if cw > 0 and ch > 0:
+        out[dy1:dy1 + ch, dx1:dx1 + cw] = resized[sy1:sy1 + ch,
+                                                  sx1:sx1 + cw]
+    if not len(boxes):
+        return out, boxes
+    fx, fy = nw / w, nh / h          # the realized per-axis factor
+    x1 = (boxes[:, 1] - boxes[:, 3] / 2) * fx + tx
+    y1 = (boxes[:, 2] - boxes[:, 4] / 2) * fy + ty
+    x2 = (boxes[:, 1] + boxes[:, 3] / 2) * fx + tx
+    y2 = (boxes[:, 2] + boxes[:, 4] / 2) * fy + ty
+    area0 = np.maximum((x2 - x1) * (y2 - y1), 1e-9)
+    x1, x2 = np.clip(x1, 0, w), np.clip(x2, 0, w)
+    y1, y2 = np.clip(y1, 0, h), np.clip(y2, 0, h)
+    bw, bh = x2 - x1, y2 - y1
+    keep = (bw > 2) & (bh > 2) & (bw * bh / area0 > 0.1)
+    nb = np.stack([boxes[:, 0], (x1 + x2) / 2, (y1 + y2) / 2, bw, bh],
+                  axis=1)[keep]
+    return out, np.ascontiguousarray(nb, np.float32)
+
+
 def flip_boxes(img: np.ndarray, boxes: np.ndarray, *, lr: bool = False,
                ud: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Horizontal/vertical flip of an image and its pixel-space cxcywh
@@ -246,6 +297,8 @@ class LoaderConfig:
     copy_paste: float = 0.0      # probability (notebook: copy_paste=True)
     fliplr: float = 0.0          # probability (ultralytics default 0.5)
     flipud: float = 0.0          # probability (ultralytics default 0.0)
+    scale: float = 0.0           # affine scale range (upstream default 0.5)
+    translate: float = 0.0       # affine translate range (upstream 0.1)
     # disable mosaic/mixup/copy_paste for the last N epochs (ultralytics
     # close_mosaic, default 10 upstream): the final epochs see clean
     # single images so BN stats and the detector settle on the real data
@@ -310,6 +363,12 @@ class DetectionLoader:
                 boxes = nb.copy()
                 if len(boxes):
                     boxes[:, 1:] *= s       # normalized → pixels
+            if self.train and (cfg.scale > 0.0 or cfg.translate > 0.0):
+                # upstream applies the affine to the mosaic output,
+                # before mixup
+                img, boxes = random_scale_translate(
+                    img, boxes, rng, scale=cfg.scale,
+                    translate=cfg.translate)
             if self.train and rng.random() < mixup_p and len(self.samples) > 1:
                 j = int(rng.integers(0, len(self.samples)))
                 img2, nb2 = self._load_resized(self.samples[j], s)

@@ -85,6 +85,69 @@ def test_flip_boxes_lr_ud_roundtrip(rng):
     np.testing.assert_allclose(b2, boxes)
 
 
+def test_random_scale_translate_geometry():
+    """Deterministic check of the affine box math: force a known factor
+    and offset through a scripted rng."""
+    from aerial_image_recognition_tpu.pipeline.data import (
+        random_scale_translate,
+    )
+
+    class ScriptedRng:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def uniform(self, lo, hi):
+            # return a value that maps the U(lo,hi) draw to the scripted
+            # fraction: frac=0 → lo, 1 → hi
+            frac = self.vals.pop(0)
+            return lo + frac * (hi - lo)
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[24:40, 24:40] = 255                       # a white box at center
+    boxes = np.asarray([[0, 32, 32, 16, 16]], np.float32)
+    # scale draw frac=1.0 → f=1.5; translate draws frac=0.5 → center stays
+    rng = ScriptedRng([1.0, 0.5, 0.5])
+    out, nb = random_scale_translate(img, boxes, rng, scale=0.5,
+                                     translate=0.1)
+    assert out.shape == img.shape
+    assert nb.shape == (1, 5)
+    np.testing.assert_allclose(nb[0], [0, 32, 32, 24, 24], atol=1.0)
+    # the white square really did scale 1.5×
+    white = (out == 255).all(axis=2)
+    assert abs(int(white.sum()) - 24 * 24) <= 100
+    # gray 114 fill appears nowhere (f>1 covers the canvas) but does for
+    # a shrink
+    rng2 = ScriptedRng([0.0, 0.5, 0.5])           # f=0.5
+    out2, nb2 = random_scale_translate(img, boxes, rng2, scale=0.5,
+                                       translate=0.1)
+    assert (out2[0, 0] == 114).all()
+    np.testing.assert_allclose(nb2[0], [0, 32, 32, 8, 8], atol=1.0)
+
+
+def test_random_scale_translate_drops_clipped_out_boxes():
+    from aerial_image_recognition_tpu.pipeline.data import (
+        random_scale_translate,
+    )
+
+    class ScriptedRng:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def uniform(self, lo, hi):
+            return lo + self.vals.pop(0) * (hi - lo)
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    # a box hugging the left edge: translating right by the max keeps it;
+    # translating the image far left clips it out
+    boxes = np.asarray([[0, 4, 32, 8, 8]], np.float32)
+    rng = ScriptedRng([0.5, 0.0, 0.5])   # f=1.0, cx at (0.5-t)*64
+    out, nb = random_scale_translate(img, boxes, rng, scale=0.0,
+                                     translate=0.5)
+    # image center moved to 0, i.e. shifted left 32 px: the box at x≈4
+    # is fully outside → dropped
+    assert len(nb) == 0
+
+
 def test_close_mosaic_window(rng):
     """close_mosaic=N (ultralytics): the composite augmentations switch
     off for the last N epochs — single images with exactly their own
