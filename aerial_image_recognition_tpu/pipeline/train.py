@@ -270,7 +270,7 @@ def init_train_state(bundle: ModelBundle, tx,
 
 
 def recalibrate_bn(bundle: ModelBundle, state: Dict, loader,
-                   passes: int = 4) -> Dict:
+                   passes: int = 4, freeze_prefixes=()) -> Dict:
     """Recompute BatchNorm running statistics from the FINAL weights.
 
     Standard post-training BN recalibration: run train-mode forwards
@@ -280,6 +280,11 @@ def recalibrate_bn(bundle: ModelBundle, state: Dict, loader,
     (eval mAP oscillating while train loss falls) is exactly stale running
     averages, and this removes it. Returns the state with updated
     'batch_stats'. No-op for models without batch_stats.
+
+    freeze_prefixes: frozen layers keep their original statistics (a
+    frozen pretrained layer's BN must describe the distribution it was
+    trained on, not this loader's — ultralytics keeps frozen modules in
+    eval mode throughout).
     """
     if not state.get("batch_stats"):
         return state
@@ -292,6 +297,9 @@ def recalibrate_bn(bundle: ModelBundle, state: Dict, loader,
     for p in range(passes):
         for images, _targets in loader.epoch(10_000 + p):
             bs = stats_step(params, bs, images)
+    if freeze_prefixes:
+        bs = _restore_frozen_stats(state["batch_stats"], bs,
+                                   freeze_prefixes)
     return dict(state, batch_stats=bs)
 
 
@@ -365,10 +373,9 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         # composite augmentations)
         loader.total_epochs = epochs
     param_mask = None
-    if freeze:
-        param_mask = _freeze_mask(
-            bundle.params["params"],
-            resolve_freeze_prefixes(bundle, freeze))
+    freeze_prefixes = resolve_freeze_prefixes(bundle, freeze)
+    if freeze_prefixes:
+        param_mask = _freeze_mask(bundle.params["params"], freeze_prefixes)
     if lr_schedule == "constant" and not warmup_epochs:
         tx = make_optimizer(lr=lr, param_mask=param_mask)
     else:
@@ -439,7 +446,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                 # running averages lag the trained network (round-1 A/B:
                 # eval oscillates while train loss falls) — recalibrate
                 # the BN statistics from the current weights before eval
-                state = recalibrate_bn(bundle, state, loader, passes=1)
+                state = recalibrate_bn(bundle, state, loader, passes=1,
+                                       freeze_prefixes=freeze_prefixes)
             row.update(evaluate(bundle, state, eval_loader,
                                 conf_threshold=conf_threshold))
             # ultralytics fitness: 0.1·mAP50 + 0.9·mAP50-95
@@ -465,7 +473,8 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                    f"{best_epoch} (patience {patience})")
             break
     if bn_mode == "batch" and epochs > start_epoch:
-        state = recalibrate_bn(bundle, state, loader, passes=2)
+        state = recalibrate_bn(bundle, state, loader, passes=2,
+                               freeze_prefixes=freeze_prefixes)
     if best is not None:
         state["best"] = best
     state["history"] = history

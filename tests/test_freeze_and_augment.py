@@ -251,6 +251,34 @@ def test_freeze_train_step(rng, bn_mode):
                    for k in bs0 if not is_frozen(k))
 
 
+def test_recalibrate_bn_keeps_frozen_stats(rng):
+    """Post-training BN recalibration must not touch frozen layers: their
+    statistics describe the (pretrained) distribution they were trained
+    on, not this loader's."""
+    from aerial_image_recognition_tpu.pipeline.train import recalibrate_bn
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+
+        def epoch(self, i):
+            yield self.images, None
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    state = {"params": bundle.params["params"],
+             "batch_stats": bundle.params["batch_stats"]}
+    out = recalibrate_bn(bundle, state, OneBatchLoader(), passes=1,
+                         freeze_prefixes=("stem0",))
+    bs0 = _flat(state["batch_stats"])
+    bs1 = _flat(out["batch_stats"])
+    for k in bs0:
+        if k.startswith("['stem0']"):
+            np.testing.assert_array_equal(bs0[k], bs1[k], err_msg=k)
+    assert any(not np.array_equal(bs0[k], bs1[k])
+               for k in bs0 if not k.startswith("['stem0']"))
+
+
 def test_fit_patience_early_stop_and_best(rng, monkeypatch):
     """patience (notebook cell 14: patience=40): training stops after N
     non-improving evals and state['best'] holds the best-fitness epoch's
