@@ -251,6 +251,59 @@ def test_freeze_train_step(rng, bn_mode):
                    for k in bs0 if not is_frozen(k))
 
 
+def test_finetune_imported_weights_with_freeze(rng):
+    """The notebook's actual workflow (cell 14): load pretrained weights,
+    freeze the first yaml layers, train. Composition check: weights that
+    arrive through the upstream import bridge stay byte-identical in the
+    frozen layers after fine-tuning — params AND BN statistics."""
+    from aerial_image_recognition_tpu.models.registry import (
+        ModelBundle, REGISTRY)
+    from aerial_image_recognition_tpu.models.import_torch import (
+        variables_from_torch_state)
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        YOLOV7_TINY_SPEC, make_state_dict)
+    from aerial_image_recognition_tpu.pipeline.train import fit
+
+    sd = make_state_dict(YOLOV7_TINY_SPEC, nc=1, seed=3)
+    variables = variables_from_torch_state(sd, "yolov7_itcvd")
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), variables)
+    spec = REGISTRY["yolov7_itcvd"]
+    bundle = ModelBundle(spec=spec, module=spec.make_module(
+        dtype=jnp.float32), params=variables)
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    state = fit(bundle, OneBatchLoader(), epochs=2, lr=1e-2,
+                bn_mode="batch", freeze=[0, 1, 2])
+    imported_p = _flat(variables["params"])
+    imported_bs = _flat(variables["batch_stats"])
+    p1 = _flat(state["params"])
+    bs1 = _flat(state["batch_stats"])
+
+    def is_frozen(k):
+        return (k.startswith("['stem0']") or k.startswith("['stem1']")
+                or k.startswith("['elan1']['cv1']"))
+
+    for k in imported_p:
+        if is_frozen(k):
+            np.testing.assert_array_equal(imported_p[k], p1[k], err_msg=k)
+    for k in imported_bs:
+        if is_frozen(k):
+            np.testing.assert_array_equal(imported_bs[k], bs1[k],
+                                          err_msg=k)
+    assert any(not np.array_equal(imported_p[k], p1[k])
+               for k in imported_p if not is_frozen(k))
+
+
 def test_recalibrate_bn_keeps_frozen_stats(rng):
     """Post-training BN recalibration must not touch frozen layers: their
     statistics describe the (pretrained) distribution they were trained
