@@ -188,7 +188,6 @@ def copy_paste(img: np.ndarray, boxes: np.ndarray,
     out = img.copy()
     cur = boxes.copy()
     order = rng.permutation(len(donor_boxes))[:max_paste]
-    added = []
     for di in order:
         cls, cx, cy, bw, bh = donor_boxes[di]
         x1 = int(round(cx - bw / 2)); y1 = int(round(cy - bh / 2))
@@ -209,7 +208,6 @@ def copy_paste(img: np.ndarray, boxes: np.ndarray,
             new = np.asarray([cls, px + pw / 2, py + ph / 2, pw, ph],
                              np.float32)
             cur = np.concatenate([cur, new[None]], axis=0)
-            added.append(new)
             break
     return out, cur.astype(np.float32)
 

@@ -76,6 +76,11 @@ def main():
     ap.add_argument("--eval-every", type=int, default=20)
     ap.add_argument("--out", default=None)
     ap.add_argument("--history-out", default=None)
+    ap.add_argument("--full-recipe", action="store_true",
+                    help="turn on the complete ultralytics augmentation "
+                         "recipe the reference trained under (copy_paste/"
+                         "fliplr/scale/translate/close_mosaic) instead of "
+                         "the validated round-1 mosaic/mixup/hsv subset")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -91,8 +96,11 @@ def main():
     samples, decode = build_samples(world, args.n_images, args.size,
                                     args.tile_m)
     train_s, val_s = samples[: -args.n_images // 8], samples[-args.n_images // 8:]
+    extra = (dict(copy_paste=0.5, fliplr=0.5, scale=0.5, translate=0.1,
+                  close_mosaic=max(1, args.epochs // 6))
+             if args.full_recipe else {})
     lcfg = LoaderConfig(image_size=args.size, batch_size=args.batch,
-                        max_targets=32)
+                        max_targets=32, **extra)
     train_loader = DetectionLoader(train_s, lcfg, decode_fn=decode)
     val_loader = DetectionLoader(
         val_s, LoaderConfig(image_size=args.size, batch_size=args.batch,
