@@ -361,9 +361,20 @@ class DetectionLoader:
                 boxes = nb.copy()
                 if len(boxes):
                     boxes[:, 1:] *= s       # normalized → pixels
+            # upstream transform order (ultralytics v8_transforms):
+            # Mosaic → CopyPaste → RandomPerspective(affine) → MixUp →
+            # flips/HSV — pasted objects receive the affine and mixup
+            # blending like everything else
+            if (self.train and paste_p > 0.0
+                    and rng.random() < paste_p
+                    and len(self.samples) > 1):
+                j = int(rng.integers(0, len(self.samples)))
+                dimg, dnb = self._load_resized(self.samples[j], s)
+                db = dnb.copy()
+                if len(db):
+                    db[:, 1:] *= s
+                img, boxes = copy_paste(img, boxes, dimg, db, rng)
             if self.train and (cfg.scale > 0.0 or cfg.translate > 0.0):
-                # upstream applies the affine to the mosaic output,
-                # before mixup
                 img, boxes = random_scale_translate(
                     img, boxes, rng, scale=cfg.scale,
                     translate=cfg.translate)
@@ -374,15 +385,6 @@ class DetectionLoader:
                 if len(b2):
                     b2[:, 1:] *= s
                 img, boxes = mixup(img, boxes, img2, b2, rng)
-            if (self.train and paste_p > 0.0
-                    and rng.random() < paste_p
-                    and len(self.samples) > 1):
-                j = int(rng.integers(0, len(self.samples)))
-                dimg, dnb = self._load_resized(self.samples[j], s)
-                db = dnb.copy()
-                if len(db):
-                    db[:, 1:] *= s
-                img, boxes = copy_paste(img, boxes, dimg, db, rng)
             if self.train and cfg.fliplr > 0.0 and rng.random() < cfg.fliplr:
                 img, boxes = flip_boxes(img, boxes, lr=True)
             if self.train and cfg.flipud > 0.0 and rng.random() < cfg.flipud:

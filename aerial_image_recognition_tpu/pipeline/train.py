@@ -72,13 +72,28 @@ def _freeze_mask(params, prefixes) -> Any:
     leaves get a literal zero update (NOT optax.masked, whose masked-out
     leaves pass raw gradients through as updates), so neither gradients
     nor adamw weight decay ever touch them."""
-    pref = tuple(p.split("/") for p in prefixes)
+    pref = [p.split("/") for p in prefixes]
+    hits = [0] * len(pref)
 
     def trainable(path, _leaf):
         parts = _path_str(path).split("/")
-        return not any(parts[:len(p)] == list(p) for p in pref)
+        frozen = False
+        for i, p in enumerate(pref):
+            if parts[:len(p)] == p:
+                hits[i] += 1
+                frozen = True
+        return not frozen
 
-    return jax.tree_util.tree_map_with_path(trainable, params)
+    mask = jax.tree_util.tree_map_with_path(trainable, params)
+    missing = [prefixes[i] for i, h in enumerate(hits) if h == 0]
+    if missing:
+        # a typo'd prefix must not silently train the layer the user
+        # believes is frozen
+        raise ValueError(
+            f"freeze prefixes matched no parameters: {missing} — check "
+            "them against the model's module paths (e.g. 'stem0', "
+            "'elan1/cv1')")
+    return mask
 
 
 def _restore_frozen_stats(old_stats, new_stats, prefixes):
@@ -396,9 +411,12 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
             warmup_steps=int(round(warmup_epochs * steps_per_epoch)),
             final_lr_frac=final_lr_frac, param_mask=param_mask)
     bn_mode = resolve_bn_mode(bundle, bn_mode)
+    # pass the RESOLVED prefixes (resolution is idempotent — plain module
+    # prefixes pass through) so the optimizer mask and the BN-stat
+    # restore set cannot desynchronize
     step_fn = make_train_step(bundle, tx, mesh=mesh, bn_mode=bn_mode,
                               remat=remat, loss_kwargs=loss_kwargs,
-                              ema_decay=ema_decay, freeze=freeze)
+                              ema_decay=ema_decay, freeze=freeze_prefixes)
     state = init_train_state(bundle, tx, ema_decay=ema_decay)
     start_epoch = 0
     if ckpt_dir:
@@ -432,6 +450,7 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     best_epoch = start_epoch - 1
     for epoch in range(start_epoch, epochs):
         losses = []
+        stop_early = False
         for images, targets in loader.epoch(epoch):
             if mesh is not None:
                 sh = NamedSharding(mesh, P("data"))
@@ -450,14 +469,23 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                                        freeze_prefixes=freeze_prefixes)
             row.update(evaluate(bundle, state, eval_loader,
                                 conf_threshold=conf_threshold))
-            # ultralytics fitness: 0.1·mAP50 + 0.9·mAP50-95
+            # ultralytics fitness: 0.1·mAP50 + 0.9·mAP50-95. Ties go to
+            # the LATER epoch (more trained): on a flat curve — e.g. mAP
+            # pinned at 0 early in a from-scratch run — 'best' must not
+            # freeze the first eval's near-untrained weights
             row["fitness"] = (0.1 * row["mAP50"] + 0.9 * row["mAP50_95"])
-            if best is None or row["fitness"] > best["fitness"]:
-                best_epoch = epoch
+            if best is None or row["fitness"] >= best["fitness"]:
+                if best is None or row["fitness"] > best["fitness"]:
+                    best_epoch = epoch     # patience counts improvements
                 best = {"params": jax.device_get(
                             state.get("ema_params", state["params"])),
                         "batch_stats": jax.device_get(state["batch_stats"]),
                         "epoch": epoch, "fitness": row["fitness"]}
+            # early stop is decided only when an eval just ran: with
+            # eval_every>1 an epoch-granular check could fire between
+            # evals, never giving the model another eval to improve at
+            stop_early = (patience is not None and patience > 0
+                          and epoch - best_epoch >= patience)
         history.append(row)
         log_fn(f"epoch {epoch}: " + ", ".join(
             f"{k}={v:.4f}" for k, v in row.items() if k != "epoch"))
@@ -466,8 +494,7 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                 save_train_state)
             save_train_state(state, os.path.join(ckpt_dir,
                                                  f"epoch_{epoch}"))
-        if (patience and best is not None
-                and epoch - best_epoch >= patience):
+        if stop_early:
             log_fn(f"early stop at epoch {epoch}: fitness "
                    f"{best['fitness']:.4f} has not improved since epoch "
                    f"{best_epoch} (patience {patience})")

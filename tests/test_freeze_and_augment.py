@@ -375,6 +375,83 @@ def test_fit_patience_early_stop_and_best(rng, monkeypatch):
     assert any(not np.array_equal(b[k], f[k]) for k in b)
 
 
+def test_fit_best_flat_curve_keeps_latest(rng, monkeypatch):
+    """On a flat fitness curve (e.g. mAP pinned at 0 early in a
+    from-scratch run) ties go to the LATER epoch: 'best' must not freeze
+    the first eval's near-untrained weights."""
+    import aerial_image_recognition_tpu.pipeline.train as T
+
+    def fake_evaluate(bundle, state, loader, conf_threshold=0.25):
+        return {"mAP50": 0.0, "mAP50_95": 0.0}
+
+    monkeypatch.setattr(T, "evaluate", fake_evaluate)
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    loader = OneBatchLoader()
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    state = T.fit(bundle, loader, epochs=3, lr=1e-2, eval_loader=loader,
+                  eval_every=1)
+    assert state["best"]["epoch"] == 2     # the LAST eval's snapshot
+    b = _flat(state["best"]["params"])
+    f = _flat(state["params"])
+    for k in b:
+        np.testing.assert_array_equal(b[k], f[k], err_msg=k)
+
+
+def test_fit_patience_counts_only_at_evals(rng, monkeypatch):
+    """With eval_every > 1, patience must not fire between evals — the
+    model always gets another eval before stopping."""
+    import aerial_image_recognition_tpu.pipeline.train as T
+
+    calls = []
+
+    def fake_evaluate(bundle, state, loader, conf_threshold=0.25):
+        calls.append(1)
+        return {"mAP50": 0.5, "mAP50_95": 0.5}
+
+    monkeypatch.setattr(T, "evaluate", fake_evaluate)
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    loader = OneBatchLoader()
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    logs = []
+    state = T.fit(bundle, loader, epochs=12, lr=1e-2, eval_loader=loader,
+                  eval_every=3, patience=2, log_fn=logs.append)
+    # evals at epochs 2,5 (flat): best at 2; patience=2 would fire at
+    # epoch 4 under epoch-granular checking — it must instead fire AT the
+    # epoch-5 eval (5-2 >= 2), after a second eval ran
+    assert len(calls) == 2
+    assert len(state["history"]) == 6
+    assert any("early stop at epoch 5" in m for m in logs)
+
+
+def test_freeze_typo_raises():
+    """A mistyped freeze prefix must not silently train the layer the
+    user believes is frozen."""
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    mask_prefixes = resolve_freeze_prefixes(bundle, ["setm0", "stem1"])
+    with pytest.raises(ValueError, match="setm0"):
+        _freeze_mask(bundle.params["params"], mask_prefixes)
+
+
 def test_fit_freeze_smoke(rng):
     """fit(freeze=...) end to end on one batch — the CLI path."""
     from aerial_image_recognition_tpu.pipeline.train import fit
