@@ -102,6 +102,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     pt.add_argument("--batch", type=int, default=8)
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument("--n-train", type=int, default=80)
+    pt.add_argument("--params", default=None,
+                    help="start from an existing .npz checkpoint instead "
+                         "of random init — the notebook's fine-tune "
+                         "workflow (load pretrained, freeze, train); "
+                         "combine with import-weights for upstream blobs")
     pt.add_argument("--bn-mode", default="auto",
                     choices=["auto", "batch", "frozen"])
     pt.add_argument("--lr-schedule", default="constant",
@@ -336,7 +341,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                             mosaic=0.0, mixup=0.0, hsv=0.0)
         freeze = ([s.strip() for s in args.freeze.split(",") if s.strip()]
                   if args.freeze else None)
-        bundle = create_model(args.model, dtype=jnp.float32)
+        bundle = create_model(args.model, dtype=jnp.float32,
+                              params_path=args.params)
+        if args.params:
+            # checkpoints may carry bf16 inference weights; the optimizer
+            # needs f32
+            import jax
+            bundle = dataclasses.replace(
+                bundle, params=jax.tree_util.tree_map(
+                    lambda a: jnp.asarray(a, jnp.float32), bundle.params))
         state = fit(bundle, DetectionLoader(train_s, lcfg),
                     epochs=args.epochs, lr=args.lr,
                     eval_loader=DetectionLoader(val_s, vcfg, train=False),

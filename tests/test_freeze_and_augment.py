@@ -304,6 +304,71 @@ def test_finetune_imported_weights_with_freeze(rng):
                for k in imported_p if not is_frozen(k))
 
 
+def test_cli_finetune_drill(tmp_path, rng):
+    """The complete migration fine-tune drill, all through the CLI: a
+    synthetic upstream-named blob → `import-weights` → `train --params
+    ... --freeze 0,1,2` → the deployed checkpoint's frozen layers are
+    byte-identical to the import. This is the notebook workflow (load
+    pretrained, freeze, train) as two shell commands."""
+    import json
+
+    from PIL import Image
+
+    from aerial_image_recognition_tpu.models.onnx_lite import (
+        write_minimal_onnx)
+    from aerial_image_recognition_tpu.models.registry import load_params
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        YOLOV7_TINY_SPEC, make_state_dict)
+    from aerial_image_recognition_tpu.pipeline.cli import main
+
+    sd = make_state_dict(YOLOV7_TINY_SPEC, nc=1, seed=5)
+    blob = str(tmp_path / "blob.onnx")
+    write_minimal_onnx(blob, sd)
+    imported = str(tmp_path / "imported.npz")
+    assert main(["import-weights", blob, "--model", "yolov7_itcvd",
+                 "--out", imported]) == 0
+
+    imdir = tmp_path / "images"
+    imdir.mkdir()
+    images, anns = [], []
+    for i in range(4):
+        arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(imdir / f"im{i}.png"))
+        images.append({"id": i, "file_name": f"im{i}.png",
+                       "width": 64, "height": 64})
+        anns.append({"id": i, "image_id": i, "category_id": 1,
+                     "bbox": [15, 20, 20, 10]})
+    coco = str(tmp_path / "coco.json")
+    with open(coco, "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": [{"id": 1, "name": "car"}]}, f)
+
+    out = str(tmp_path / "tuned.npz")
+    assert main(["train", "--coco", coco, "--images", str(imdir),
+                 "--model", "yolov7_itcvd", "--imgsz", "64", "--batch",
+                 "2", "--epochs", "1", "--n-train", "3", "--lr", "1e-2",
+                 "--params", imported, "--freeze", "0,1,2",
+                 "--out", out]) == 0
+
+    before = _flat(load_params(imported))
+    after = _flat(load_params(out))
+
+    def is_frozen(k):
+        return (k.startswith("['params']['stem0']")
+                or k.startswith("['params']['stem1']")
+                or k.startswith("['params']['elan1']['cv1']")
+                or k.startswith("['batch_stats']['stem0']")
+                or k.startswith("['batch_stats']['stem1']")
+                or k.startswith("['batch_stats']['elan1']['cv1']"))
+
+    frozen = [k for k in before if is_frozen(k)]
+    assert frozen
+    for k in frozen:
+        np.testing.assert_array_equal(before[k], after[k], err_msg=k)
+    assert any(not np.array_equal(before[k], after[k])
+               for k in before if not is_frozen(k))
+
+
 def test_recalibrate_bn_keeps_frozen_stats(rng):
     """Post-training BN recalibration must not touch frozen layers: their
     statistics describe the (pretrained) distribution they were trained
