@@ -335,7 +335,7 @@ def _recalibrate_step(module):
 
 def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
         lr: float = 1e-4, mesh: Optional[Mesh] = None,
-        eval_loader=None, eval_every: int = 1,
+        eval_loader=None, eval_every: int = 1, eval_fn=None,
         conf_threshold: float = 0.25, log_fn=print,
         bn_mode: str = "auto", remat: bool = False,
         ckpt_dir: Optional[str] = None, ckpt_every: int = 1,
@@ -373,6 +373,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
     ({'params','batch_stats','epoch','fitness'} — the analogue of
     ultralytics best.pt, EMA weights when EMA is on); tracking happens
     with or without patience.
+
+    eval_fn: custom metric callback `(bundle, state) -> {name: float}`
+    replacing the built-in detection mAP eval — e.g. mask IoU for
+    segmentation heads. Include a 'fitness' key to drive best-weight
+    retention and patience; without one, metrics are logged only.
 
     Returns the final state dict ({'params','batch_stats',...}); pass
     {'params': ..., 'batch_stats': ...} to inference functions or
@@ -460,21 +465,29 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
             losses.append(float(metrics["loss"]))
         row = {"epoch": epoch, "loss": float(jnp.mean(jnp.asarray(losses)))
                if losses else float("nan")}
-        if eval_loader is not None and (epoch + 1) % eval_every == 0:
+        if ((eval_loader is not None or eval_fn is not None)
+                and (epoch + 1) % eval_every == 0):
             if bn_mode == "batch":
                 # running averages lag the trained network (round-1 A/B:
                 # eval oscillates while train loss falls) — recalibrate
                 # the BN statistics from the current weights before eval
                 state = recalibrate_bn(bundle, state, loader, passes=1,
                                        freeze_prefixes=freeze_prefixes)
-            row.update(evaluate(bundle, state, eval_loader,
-                                conf_threshold=conf_threshold))
+            if eval_fn is not None:
+                row.update(eval_fn(bundle, state))
+            else:
+                row.update(evaluate(bundle, state, eval_loader,
+                                    conf_threshold=conf_threshold))
             # ultralytics fitness: 0.1·mAP50 + 0.9·mAP50-95. Ties go to
             # the LATER epoch (more trained): on a flat curve — e.g. mAP
             # pinned at 0 early in a from-scratch run — 'best' must not
             # freeze the first eval's near-untrained weights
-            row["fitness"] = (0.1 * row["mAP50"] + 0.9 * row["mAP50_95"])
-            if best is None or row["fitness"] >= best["fitness"]:
+            if "fitness" not in row and "mAP50" in row:
+                row["fitness"] = (0.1 * row["mAP50"]
+                                  + 0.9 * row["mAP50_95"])
+            if "fitness" not in row:
+                pass                       # metrics logged only
+            elif best is None or row["fitness"] >= best["fitness"]:
                 if best is None or row["fitness"] > best["fitness"]:
                     best_epoch = epoch     # patience counts improvements
                 best = {"params": jax.device_get(
@@ -483,8 +496,11 @@ def fit(bundle: ModelBundle, loader, *, epochs: int = 1,
                         "epoch": epoch, "fitness": row["fitness"]}
             # early stop is decided only when an eval just ran: with
             # eval_every>1 an epoch-granular check could fire between
-            # evals, never giving the model another eval to improve at
+            # evals, never giving the model another eval to improve at.
+            # (best is None when no eval has produced a fitness yet —
+            # fitness-less eval_fns never early-stop)
             stop_early = (patience is not None and patience > 0
+                          and best is not None
                           and epoch - best_epoch >= patience)
         history.append(row)
         log_fn(f"epoch {epoch}: " + ", ".join(

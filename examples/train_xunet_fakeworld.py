@@ -96,6 +96,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--n-buildings", type=int, default=120)
+    ap.add_argument("--patience", type=int, default=0,
+                    help="early stopping on held-out mask IoU (evals every "
+                         "epochs//8); 0 disables")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -114,13 +117,25 @@ def main():
                            shuffle=False)
 
     bundle = create_model("xunet_256", dtype=jnp.float32)
-    state = fit(bundle, train_loader, epochs=args.epochs, lr=args.lr)
+
+    def eval_fn(bundle_, state_):
+        # held-out mask IoU doubles as the fitness driving best-weight
+        # retention / early stopping (fit's eval_fn hook)
+        iou = mask_iou(bundle_, state_, val_loader)
+        return {"mask_iou": iou, "fitness": iou}
+
+    state = fit(bundle, train_loader, epochs=args.epochs, lr=args.lr,
+                eval_fn=eval_fn, eval_every=max(1, args.epochs // 8),
+                patience=args.patience or None)
     state.pop("history")
-    iou = mask_iou(bundle, state, val_loader)
+    best = state.get("best")
+    deploy = best if best is not None else state
+    iou = mask_iou(bundle, deploy, val_loader)
     if args.out:
-        save_params({"params": state["params"],
-                     "batch_stats": state["batch_stats"]}, args.out)
+        save_params({"params": deploy["params"],
+                     "batch_stats": deploy["batch_stats"]}, args.out)
     print(json.dumps({"model": "xunet_256", "val_mask_iou": round(iou, 4),
+                      "best_epoch": None if best is None else best["epoch"],
                       "out": args.out}))
 
 

@@ -508,6 +508,49 @@ def test_fit_patience_counts_only_at_evals(rng, monkeypatch):
     assert any("early stop at epoch 5" in m for m in logs)
 
 
+def test_fit_eval_fn_drives_best_and_patience(rng):
+    """fit(eval_fn=...) — the segmentation-style metric hook: a supplied
+    'fitness' drives best-weight retention and early stopping; a
+    fitness-less eval_fn only logs and never early-stops."""
+    from aerial_image_recognition_tpu.pipeline.train import fit
+
+    class OneBatchLoader:
+        def __init__(self):
+            self.images = rng.integers(0, 255, (2, 64, 64, 3),
+                                       dtype=np.uint8)
+            self.targets = np.full((2, 8, 5), -1.0, np.float32)
+            self.targets[:, 0] = (0, 32.0, 32.0, 12.0, 10.0)
+
+        def epoch(self, i):
+            yield self.images, self.targets
+
+    loader = OneBatchLoader()
+    fitnesses = iter([0.8, 0.5, 0.5, 0.5])
+
+    def eval_fn(bundle, state):
+        f = next(fitnesses)
+        return {"mask_iou": f, "fitness": f}
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    logs = []
+    state = fit(bundle, loader, epochs=10, lr=1e-2, eval_fn=eval_fn,
+                eval_every=1, patience=2, log_fn=logs.append)
+    assert state["best"]["epoch"] == 0
+    assert state["best"]["fitness"] == pytest.approx(0.8)
+    assert len(state["history"]) == 3      # best at 0, stop at epoch 2
+    assert any("early stop at epoch 2" in m for m in logs)
+    assert state["history"][0]["mask_iou"] == pytest.approx(0.8)
+
+    def no_fitness(bundle, state):
+        return {"mask_iou": 0.0}
+
+    bundle2 = create_model("yolov7_itcvd", dtype=jnp.float32)
+    state2 = fit(bundle2, loader, epochs=4, lr=1e-2, eval_fn=no_fitness,
+                 eval_every=1, patience=1)
+    assert len(state2["history"]) == 4     # never early-stops
+    assert "best" not in state2
+
+
 def test_freeze_typo_raises():
     """A mistyped freeze prefix must not silently train the layer the
     user believes is frozen."""
