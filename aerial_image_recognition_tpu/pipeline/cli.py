@@ -182,6 +182,30 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("--out-mask")
     pm.add_argument("--out-polygons")
 
+    pp = sub.add_parser("predict", help="detect on image files of any "
+                        "size (the notebook's cells 27-29 spot-check; "
+                        "boxes in original pixels, optional annotated "
+                        "copies)")
+    pp.add_argument("images", nargs="+", help="image files")
+    pp.add_argument("--model", default="yolov7_itcvd")
+    pp.add_argument("--params", default=None)
+    pp.add_argument("--confidence", type=float, default=0.25)
+    pp.add_argument("--imgsz", type=int, default=None,
+                    help="inference resolution (default: the model's "
+                         "registry input size)")
+    pp.add_argument("--annotate", metavar="DIR", default=None,
+                    help="write box-annotated copies into this directory")
+
+    pl = sub.add_parser("val", help="evaluate a checkpoint's mAP on a "
+                        "COCO-labeled set (notebook cell 22)")
+    pl.add_argument("--coco", required=True)
+    pl.add_argument("--images", required=True)
+    pl.add_argument("--model", default="yolov8_tokyo")
+    pl.add_argument("--params", default=None)
+    pl.add_argument("--imgsz", type=int, default=640)
+    pl.add_argument("--batch", type=int, default=8)
+    pl.add_argument("--confidence", type=float, default=0.25)
+
     pe = sub.add_parser("export", help="export a trained checkpoint as a "
                         "reference-format .onnx initializer blob (torch "
                         "state-dict names, deploy-fused IDetect)")
@@ -372,6 +396,51 @@ def main(argv: Optional[List[str]] = None) -> int:
             out["best"] = {"epoch": best["epoch"],
                            "fitness": best["fitness"]}
         print(json.dumps(out))
+        return 0
+
+    if args.command == "predict":
+        import os
+
+        from aerial_image_recognition_tpu.pipeline.predict import (
+            draw_predictions, predict_images)
+        preds = predict_images(args.images, model=args.model,
+                               params=args.params,
+                               confidence=args.confidence,
+                               imgsz=args.imgsz)
+        if args.annotate:
+            os.makedirs(args.annotate, exist_ok=True)
+            for p in preds:
+                draw_predictions(p, os.path.join(
+                    args.annotate, os.path.basename(p.path)))
+        print(json.dumps({"images": [p.to_json() for p in preds]}))
+        return 0
+
+    if args.command == "val":
+        import dataclasses
+        import os
+
+        import jax.numpy as jnp
+        from aerial_image_recognition_tpu.models.registry import create_model
+        from aerial_image_recognition_tpu.pipeline.data import (
+            TOKYO_CLASS_REMAP, DetectionLoader, LoaderConfig, coco_to_yolo)
+        from aerial_image_recognition_tpu.pipeline.train import evaluate
+
+        remap = TOKYO_CLASS_REMAP if "tokyo" in args.model else None
+        samples = coco_to_yolo(args.coco, class_remap=remap)
+        samples = [dataclasses.replace(
+            s, image_path=os.path.join(args.images,
+                                       os.path.basename(s.image_path)))
+            for s in samples]
+        loader = DetectionLoader(
+            samples, LoaderConfig(image_size=args.imgsz,
+                                  batch_size=args.batch, mosaic=0.0,
+                                  mixup=0.0, hsv=0.0), train=False)
+        bundle = create_model(args.model, dtype=jnp.float32,
+                              params_path=args.params)
+        metrics = evaluate(bundle, bundle.params, loader,
+                           conf_threshold=args.confidence)
+        print(json.dumps({"model": args.model, "params": args.params,
+                          "n_images": len(samples), **metrics}))
         return 0
 
     if args.command == "geotiff":
