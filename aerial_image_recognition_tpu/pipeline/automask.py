@@ -137,8 +137,16 @@ def automask_geotiff(src, *, window: int = 256, batch: int = 16,
                                    "stability": inst["stability"],
                                    "score": inst["score"],
                                    "area_px": inst["area_px"]}})
-        write_geojson({"type": "FeatureCollection", "features": feats,
-                       "metadata": {"epsg": gt.epsg,
-                                    "thresholds": list(thresholds)}},
-                      output_polygons)
+        if output_polygons.endswith(".gpkg"):
+            # the reference's SamGeo2 workflow vectorizes to GPKG
+            # (x_arch/car_recognition_on_tiff.py raster_to_vector)
+            from aerial_image_recognition_tpu.gio.geopackage import (
+                write_gpkg)
+            write_gpkg(output_polygons, feats, layer="instances",
+                       geometry_type="POLYGON", srs_id=gt.epsg or 4326)
+        else:
+            write_geojson({"type": "FeatureCollection", "features": feats,
+                           "metadata": {"epsg": gt.epsg,
+                                        "thresholds": list(thresholds)}},
+                          output_polygons)
     return instances

@@ -83,6 +83,16 @@ def hex_heatmap(records: Sequence[dict], hex_size_m: float = 50.0,
     fc = {"type": "FeatureCollection", "features": feats,
           "metadata": {"hex_size_m": hex_size_m, "points": len(records)}}
     if output_geojson:
-        from aerial_image_recognition_tpu.gio.geojson import write_geojson
-        write_geojson(fc, output_geojson)
+        if output_geojson.endswith(".gpkg"):
+            # the reference ships this artifact as a GeoPackage
+            # (output/warsaw/hex_heatmap_output.gpkg) — same layer name
+            from aerial_image_recognition_tpu.gio.geopackage import (
+                write_gpkg)
+            write_gpkg(output_geojson, fc["features"],
+                       layer="hex_heatmap_output",
+                       geometry_type="POLYGON")
+        else:
+            from aerial_image_recognition_tpu.gio.geojson import (
+                write_geojson)
+            write_geojson(fc, output_geojson)
     return fc
