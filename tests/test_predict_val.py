@@ -142,6 +142,32 @@ def test_cli_predict_annotate(tmp_path, capsys):
                                   _load_rgb(os.path.join(ann, "t.png")))
 
 
+REF_IMAGES = "/root/reference/img/test_images"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_IMAGES),
+                    reason="reference spot-check images not present")
+def test_predict_on_reference_city_crops():
+    """The reference's OWN spot-check fixtures (img/test_images/*.jpg —
+    real aerial crops at ragged ~1300-1800 px sizes, used by notebook
+    cells 27-29): the whole predict path — native JPEG decode, host
+    resize to model input, NMS, back-scale to original pixels — must run
+    on real imagery. (Detection QUALITY is not asserted: the fixture
+    model is fake-world-trained; real-weight parity is
+    environment-blocked — STATUS.md.)"""
+    paths = sorted(os.path.join(REF_IMAGES, f)
+                   for f in os.listdir(REF_IMAGES))[:3]
+    preds = predict_images(paths, params=FIXTURE, imgsz=SIZE,
+                           confidence=0.4)
+    assert len(preds) == 3
+    for p in preds:
+        assert p.width > 1000 and p.height > 700      # real crop sizes
+        b = p.boxes_xyxy
+        if len(b):
+            assert (b[:, 0] >= 0).all() and (b[:, 2] <= p.width).all()
+            assert (b[:, 1] >= 0).all() and (b[:, 3] <= p.height).all()
+
+
 def test_cli_val_reproduces_fixture_quality(tmp_path, capsys):
     """val on 8 fake-world tiles with EXACT ground-truth boxes: the
     trained fixture must land in its known mAP50 tier."""
