@@ -272,6 +272,51 @@ def yolov7_detect_from_torch(state_dict, variables, *,
 yolov7_tiny_detect_from_torch = yolov7_detect_from_torch
 
 
+def yolov7_detect_to_torch(variables, *,
+                           detect_idx: int = _V7_TINY_DETECT_IDX
+                           ) -> Dict[str, np.ndarray]:
+    """Inverse of yolov7_detect_from_torch, in the deploy (folded) form:
+    our detect{lvl} convs already carry ia/im folded in (the fusion the
+    reference's ONNX export performed), so the exported state holds only
+    model.{detect_idx}.m.{lvl}.{weight,bias} with no ia/im keys — importing
+    it back skips the fold and reproduces the identical flax weights."""
+    out = {}
+    for lvl in range(3):
+        k = np.asarray(_get(variables, ["params", f"detect{lvl}", "kernel"]))
+        b = np.asarray(_get(variables, ["params", f"detect{lvl}", "bias"]))
+        out[f"model.{detect_idx}.m.{lvl}.weight"] = _conv_to_torch(k)
+        out[f"model.{detect_idx}.m.{lvl}.bias"] = b
+    return out
+
+
+def torch_state_from_variables(variables: Dict[str, Any],
+                               model_name: str) -> Dict[str, np.ndarray]:
+    """Inverse of variables_from_torch_state: the COMPLETE upstream-named
+    tensor set (trunk mapping + detect heads) for a registry model. CLI
+    `export` wires this to onnx_lite.write_minimal_onnx, giving users a
+    switch-back path to the reference's onnxruntime flow
+    (simple_detector.py:39-46) for every detection family."""
+    from aerial_image_recognition_tpu.models.registry import (
+        REGISTRY, resolve_model_name)
+    name = resolve_model_name(model_name)
+    spec = REGISTRY[name]
+    if spec.family == "yolov7":
+        if name == "yolov7_base":
+            out = export_torch_state(variables, yolov7_base_mapping())
+            out.update(yolov7_detect_to_torch(
+                variables, detect_idx=_V7_BASE_DETECT_IDX))
+        else:
+            out = export_torch_state(variables, yolov7_tiny_mapping())
+            out.update(yolov7_detect_to_torch(variables))
+        return out
+    if spec.family == "yolov8":
+        scale = "l" if name == "yolov8_tokyo" else name[-1]
+        return export_torch_state(variables,
+                                  yolov8_mapping(yolov8_n_c2f(scale)))
+    raise KeyError(f"no torch export mapping for model family "
+                   f"{spec.family!r} ({name})")
+
+
 def yolov8_n_c2f(scale: str) -> Dict[str, int]:
     """Per-module bottleneck counts for a yolov8 scale (the n_c2f dict
     yolov8_mapping needs)."""

@@ -138,3 +138,49 @@ def test_cli_export_roundtrip(tmp_path):
     a = np.asarray(orig["params"]["stem0"]["conv"]["kernel"], np.float32)
     b = np.asarray(back["params"]["stem0"]["conv"]["kernel"], np.float32)
     np.testing.assert_array_equal(a, b)
+
+
+def _tree_equal(a, b):
+    import jax
+    import numpy as np
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x, np.float32),
+                                      np.asarray(y, np.float32))
+
+
+def test_full_export_import_roundtrip_all_families(tmp_path):
+    """torch_state_from_variables ∘ variables_from_torch_state == identity
+    over the COMPLETE variables tree, detect heads included — the
+    round-2 export covered only the trunk mapping, so an exported blob
+    carried untrained detect heads (silently broken on switch-back to the
+    reference's onnxruntime flow)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aerial_image_recognition_tpu.models.import_torch import (
+        torch_state_from_variables, variables_from_torch_state)
+    from aerial_image_recognition_tpu.models.onnx_lite import (
+        load_onnx_initializers, write_minimal_onnx)
+    from aerial_image_recognition_tpu.models.registry import create_model
+
+    for model in ("yolov7_itcvd", "yolov7_base", "yolov8n"):
+        bundle = create_model(model, dtype=jnp.float32)
+        variables = jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float32), bundle.params)
+        tensors = torch_state_from_variables(variables, model)
+        # detect heads must be present in upstream naming
+        head_keys = [k for k in tensors if ".m.0.weight" in k
+                     or k.endswith("cv3.0.2.weight")
+                     or ".detect" in k]
+        if model.startswith("yolov7"):
+            assert any(".m.0.weight" in k for k in tensors), model
+            assert any(".m.2.bias" in k for k in tensors), model
+        del head_keys
+        p = str(tmp_path / f"{model}.onnx")
+        write_minimal_onnx(p, tensors)
+        back = variables_from_torch_state(load_onnx_initializers(p), model)
+        _tree_equal(variables, back)
