@@ -25,6 +25,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+TRAIN_WORKER = os.path.join(REPO, "tests", "multihost_train_worker.py")
 FIXTURE = os.path.join(REPO, "tests", "fixtures",
                        "yolov7_tiny_fakeworld.npz")
 
@@ -160,3 +161,57 @@ def test_two_process_real_scan_merges_to_single_process_result(tmp_path):
         assert len(merged) < len(all_recs)
     finally:
         srv.stop()
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(tmp_path):
+    """DCN TRAINING: two jax.distributed processes drive the production
+    mesh-sharded train step over a mesh spanning both; XLA's gradient
+    all-reduce crosses the process boundary. Final parameters must match a
+    single-process run of the identical data stream (and agree between the
+    two processes)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    outs = [str(tmp_path / f"train{i}.json") for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, TRAIN_WORKER, coord, str(i), "2", outs[i]],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=900)
+            logs.append(stdout.decode(errors="replace"))
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    results = [json.load(open(o)) for o in outs]
+    assert {r["process_index"] for r in results} == {0, 1}
+    assert all(r["global_devices"] == 4 for r in results)
+
+    # replicated state: both processes ended with identical parameters,
+    # and each saw the other's checksum through the allgather
+    c0, c1 = (r["checksum"] for r in
+              sorted(results, key=lambda r: r["process_index"]))
+    assert c0 == c1
+    for r in results:
+        # allgather rides jit, which casts f64→f32 (x64 disabled): compare
+        # at float32 precision
+        assert np.allclose(r["checksums_allgather"], [c0, c1], rtol=1e-6)
+
+    # single-process reference over the SAME deterministic stream
+    import multihost_train_worker as tw
+    losses, params = tw.train(None)
+    checksum, head = tw.param_probe(params)
+    got_losses = results[0]["losses"]
+    assert np.allclose(got_losses, losses, rtol=1e-3, atol=1e-4), (
+        got_losses, losses)
+    assert np.isclose(results[0]["checksum"], checksum, rtol=1e-4)
+    assert np.allclose(results[0]["param_head"], head,
+                       rtol=1e-3, atol=1e-5)
