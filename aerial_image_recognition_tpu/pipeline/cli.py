@@ -165,6 +165,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="shard the serving batch over all (or N) chips")
     pv.add_argument("--quantize", choices=["int8"], default=None)
     pv.add_argument("--quantize-calib", dest="quantize_calib", default=None)
+    pv.add_argument("--segment-params", dest="segment_params", default=None,
+                    help="XUnet-256 checkpoint (.npz) — also serve "
+                    "POST /segment building-segmentation requests")
+    pv.add_argument("--segment-batch", dest="segment_batch", type=int,
+                    default=16)
 
     pm = sub.add_parser("automask", help="automatic instance masks over a "
                         "GeoTIFF (SAM2 workflow parity)")
@@ -291,23 +296,24 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if args.command == "export":
+        import jax
         import jax.numpy as jnp
         from aerial_image_recognition_tpu.models.import_torch import (
-            export_torch_state, yolov7_tiny_mapping)
+            torch_state_from_variables)
         from aerial_image_recognition_tpu.models.onnx_lite import (
             write_minimal_onnx)
         from aerial_image_recognition_tpu.models.registry import (
             create_model)
         bundle = create_model(args.model, dtype=jnp.float32,
                               params_path=args.params)
-        if not (bundle.spec.family == "yolov7"
-                and getattr(bundle.module, "variant", "") == "tiny"):
-            raise SystemExit("export currently supports the yolov7-tiny "
-                             "family (the reference's primary model)")
-        import jax
+        if bundle.spec.family not in ("yolov7", "yolov8"):
+            raise SystemExit("export supports the detection families "
+                             "(yolov7 tiny/base, yolov8 n..x/tokyo); the "
+                             "reference's XUnet blob has no upstream torch "
+                             "naming to export to")
         params = jax.tree_util.tree_map(
             lambda a: jnp.asarray(a, jnp.float32), bundle.params)
-        tensors = export_torch_state(params, yolov7_tiny_mapping())
+        tensors = torch_state_from_variables(params, bundle.spec.name)
         write_minimal_onnx(args.out, tensors)
         print(json.dumps({"out": args.out, "tensors": len(tensors)}))
         return 0
@@ -465,7 +471,9 @@ def main(argv: Optional[List[str]] = None) -> int:
              "quantize": args.quantize,
              "quantize_calib": args.quantize_calib},
             host=args.host, port=args.port,
-            max_wait_ms=args.max_wait_ms).start()
+            max_wait_ms=args.max_wait_ms,
+            segment_params=args.segment_params,
+            segment_batch=args.segment_batch).start()
         print(json.dumps({"serving": srv.url,
                           "model": srv.step.bundle.spec.name}))
         try:
