@@ -3,9 +3,11 @@
 Covers the raster workflows the reference ran through GDAL
 (x_arch/02_analyze_images cell 6: GeoTIFF read + affine geotransform;
 x_arch/car_recognition_on_tiff.py: mask GeoTIFF output): classic TIFF,
-stripped or tiled, uint8 samples, compression none/deflate/packbits, with
-the GeoTIFF tags needed for georeferencing (ModelPixelScale + ModelTiepoint
-or ModelTransformation, and the EPSG code from the GeoKey directory).
+stripped or tiled, uint8 samples, compression none/LZW/deflate/packbits,
+predictor 1/2 (horizontal differencing — GDAL's usual companion to
+LZW/deflate), with the GeoTIFF tags needed for georeferencing
+(ModelPixelScale + ModelTiepoint or ModelTransformation, and the EPSG code
+from the GeoKey directory).
 
 The affine geotransform follows the GDAL convention:
   x_geo = gt[0] + col·gt[1] + row·gt[2]
@@ -25,7 +27,8 @@ _TAGS = {
     259: "compression", 262: "photometric", 273: "strip_offsets",
     277: "samples_per_pixel", 278: "rows_per_strip",
     279: "strip_byte_counts", 282: "x_res", 283: "y_res",
-    284: "planar_config", 322: "tile_width", 323: "tile_height",
+    284: "planar_config", 317: "predictor",
+    322: "tile_width", 323: "tile_height",
     324: "tile_offsets", 325: "tile_byte_counts",
     338: "extra_samples", 339: "sample_format",
     33550: "model_pixel_scale", 33922: "model_tiepoint",
@@ -80,9 +83,58 @@ def _read_entries(data: bytes, off: int, endian: str) -> Dict:
     return entries, nxt
 
 
+def _lzw_decode(raw: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (clear=256, EOI=257, MSB-first bit packing, and the
+    TIFF 5.0 "early change": code width grows one code earlier than in
+    standard LZW — at table sizes 511/1023/2047). Validated against
+    libtiff-written files in tests/test_geotiff_rasters.py."""
+    out = bytearray()
+    table: List[bytes] = []
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    prev = b""
+    for byte in raw:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:                     # clear
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = b""
+                continue
+            if code == 257:                     # end of information
+                return bytes(out)
+            if prev:
+                if code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                else:                           # KwKwK case
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                n = len(table)
+                if n == 511:
+                    width = 10
+                elif n == 1023:
+                    width = 11
+                elif n == 2047:
+                    width = 12
+            else:
+                entry = table[code]
+            out += entry
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
 def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
     if compression == 1:
         return raw
+    if compression == 5:              # LZW
+        return _lzw_decode(raw, expected)
     if compression in (8, 32946):     # deflate / zlib
         return zlib.decompress(raw)
     if compression == 32773:          # packbits
@@ -99,7 +151,7 @@ def _decompress(raw: bytes, compression: int, expected: int) -> bytes:
                 i += 1
         return bytes(out)
     raise NotImplementedError(f"TIFF compression {compression} unsupported "
-                              "(supported: none, deflate, packbits)")
+                              "(supported: none, LZW, deflate, packbits)")
 
 
 def read_geotiff(path: str) -> GeoTiff:
@@ -121,6 +173,20 @@ def read_geotiff(path: str) -> GeoTiff:
         bps = bps[0]
     if bps != 8:
         raise NotImplementedError("only 8-bit GeoTIFFs supported")
+    if int(t.get("planar_config", 1)) != 1:
+        raise NotImplementedError("planar_config=2 (separate sample planes) "
+                                  "unsupported")
+    predictor = int(t.get("predictor", 1))
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported "
+                                  "(supported: 1 none, 2 horizontal)")
+
+    def undiff(arr: np.ndarray) -> np.ndarray:
+        # predictor 2: each sample stores the delta to the pixel on its
+        # left; invert with a wrapping per-row prefix sum (per sample).
+        if predictor == 2:
+            return np.cumsum(arr, axis=1, dtype=np.uint8)
+        return arr
 
     img = np.zeros((h, w, spp), dtype=np.uint8)
     as_tuple = lambda v: v if isinstance(v, tuple) else (v,)
@@ -131,8 +197,8 @@ def read_geotiff(path: str) -> GeoTiff:
         tiles_x = (w + tw - 1) // tw
         for ti, (o, c) in enumerate(zip(offs, cnts)):
             buf = _decompress(data[o:o + c], comp, tw * th * spp)
-            arr = np.frombuffer(buf, np.uint8,
-                                count=tw * th * spp).reshape(th, tw, spp)
+            arr = undiff(np.frombuffer(buf, np.uint8,
+                                       count=tw * th * spp).reshape(th, tw, spp))
             r0 = (ti // tiles_x) * th
             c0 = (ti % tiles_x) * tw
             img[r0:min(r0 + th, h), c0:min(c0 + tw, w)] = \
@@ -145,8 +211,8 @@ def read_geotiff(path: str) -> GeoTiff:
             r0 = si * rps
             rows = min(rps, h - r0)
             buf = _decompress(data[o:o + c], comp, rows * w * spp)
-            img[r0:r0 + rows] = np.frombuffer(
-                buf, np.uint8, count=rows * w * spp).reshape(rows, w, spp)
+            img[r0:r0 + rows] = undiff(np.frombuffer(
+                buf, np.uint8, count=rows * w * spp).reshape(rows, w, spp))
 
     # georeferencing
     if "model_transformation" in t:

@@ -202,3 +202,183 @@ def test_detect_geotiff_quantize_reaches_build(tmp_path):
     with pytest.raises(ValueError, match="quantize_calib"):
         detect_geotiff(p, window=64, stride=64, model="yolov7_itcvd",
                        quantize="int8")
+
+
+# --- compressed-input compatibility (GDAL-written rasters in the wild are
+# usually LZW or deflate with predictor=2 horizontal differencing; the
+# reference read them through GDAL, x_arch/02_analyze_images cell 6) ------
+
+def _aerial_like(rng, h, w, c):
+    """Smooth gradient + noise: compresses like real imagery and grows the
+    LZW table past the 9->10 bit width change."""
+    base = (np.linspace(0, 255, w)[None, :, None]
+            + np.linspace(0, 128, h)[:, None, None])
+    a = np.clip(base + rng.normal(0, 12, (h, w, c)), 0, 255)
+    return a.astype(np.uint8)
+
+
+def test_geotiff_reads_libtiff_lzw_and_predictor(tmp_path, rng):
+    Image = pytest.importorskip("PIL.Image")
+    a = _aerial_like(rng, 200, 320, 3)
+    gray = a[:, :, 0]
+    cases = [
+        ("lzw.tif", a, dict(compression="tiff_lzw")),
+        ("lzw_p2.tif", a, dict(compression="tiff_lzw", tiffinfo={317: 2})),
+        ("defl_p2.tif", a, dict(compression="tiff_deflate",
+                                tiffinfo={317: 2})),
+        ("lzw_gray_p2.tif", gray, dict(compression="tiff_lzw",
+                                       tiffinfo={317: 2})),
+    ]
+    for name, arr, kw in cases:
+        p = str(tmp_path / name)
+        Image.fromarray(arr).save(p, **kw)
+        got = read_geotiff(p).data
+        want = arr if arr.ndim == 3 else arr[:, :, None]
+        np.testing.assert_array_equal(got, want, err_msg=name)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Test-local TIFF-LZW encoder (MSB-first, early change) used to build
+    a tiled fixture; independently validated by PIL/libtiff reading the
+    assembled file in test_geotiff_tiled_lzw_predictor."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258          # simulated decoder table length (drives width)
+    first = True
+    emit(256, width)
+    w = b""
+
+    def emitted_one():
+        nonlocal first, dec_len, width
+        if first:
+            first = False
+        else:
+            dec_len += 1
+            if dec_len == 511:
+                width = 10
+            elif dec_len == 1023:
+                width = 11
+            elif dec_len == 2047:
+                width = 12
+
+    for i in range(len(data)):
+        ch = data[i:i + 1]
+        wc = w + ch
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        emitted_one()
+        table[wc] = next_code
+        next_code += 1
+        w = ch
+        if next_code == 4093:          # reset before codes outgrow 12 bits
+            emit(table[w], width)
+            emitted_one()
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+            dec_len = 258
+            first = True
+            w = b""
+    if w:
+        emit(table[w], width)
+        emitted_one()
+    emit(257, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_geotiff_tiled_lzw_predictor(tmp_path, rng):
+    """Hand-assembled tiled TIFF (libtiff via PIL only writes strips):
+    LZW + predictor 2, 256-px tiles with edge-clamped coverage. PIL reads
+    the same file as an independent check of the assembly + encoder."""
+    import struct as st
+    h, w, spp = 300, 520, 3
+    a = _aerial_like(rng, h, w, spp)
+    tw = th = 256
+    tiles_x, tiles_y = (w + tw - 1) // tw, (h + th - 1) // th
+    payloads = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = np.zeros((th, tw, spp), np.uint8)
+            sub = a[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            tile[:sub.shape[0], :sub.shape[1]] = sub
+            diffed = tile.astype(np.int16)
+            diffed[:, 1:] -= tile[:, :-1].astype(np.int16)
+            payloads.append(_lzw_encode(
+                (diffed & 0xFF).astype(np.uint8).tobytes()))
+
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * spp), (259, 3, [5]),
+        (262, 3, [2]), (277, 3, [spp]), (284, 3, [1]), (317, 3, [2]),
+        (322, 4, [tw]), (323, 4, [th]),
+        (324, 4, None),     # tile offsets (patched below)
+        (325, 4, [len(p) for p in payloads]),
+    ]
+    n = len(tags)
+    fmt_of = {3: "H", 4: "I"}
+    ifd_end = 8 + 2 + n * 12 + 4
+    # out-of-line area, then tile payloads
+    blobs, cursor = {}, ifd_end
+    ntiles = len(payloads)
+    for tag, typ, vals in tags:
+        count = ntiles if vals is None else len(vals)
+        size = count * st.calcsize(fmt_of[typ])
+        if size > 4:
+            blobs[tag] = cursor
+            cursor += size + (size % 2)
+    tile_offs, here = [], cursor
+    for p in payloads:
+        tile_offs.append(here)
+        here += len(p)
+    buf = bytearray(st.pack("<2sHI", b"II", 42, 8))
+    buf += st.pack("<H", n)
+    for tag, typ, vals in tags:
+        if vals is None:
+            vals = tile_offs
+        count = len(vals)
+        raw = st.pack(f"<{count}{fmt_of[typ]}", *vals)
+        if len(raw) > 4:
+            buf += st.pack("<HHII", tag, typ, count, blobs[tag])
+        else:
+            buf += st.pack("<HHI", tag, typ, count) + raw.ljust(4, b"\0")
+    buf += st.pack("<I", 0)
+    pos = len(buf)
+    for tag, typ, vals in tags:
+        if tag in blobs:
+            if vals is None:
+                vals = tile_offs
+            raw = st.pack(f"<{len(vals)}{fmt_of[typ]}", *vals)
+            assert pos == blobs[tag]
+            buf += raw + b"\0" * (len(raw) % 2)
+            pos += len(raw) + (len(raw) % 2)
+    for p in payloads:
+        buf += p
+    path = str(tmp_path / "tiled_lzw_p2.tif")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+    got = read_geotiff(path).data
+    np.testing.assert_array_equal(got, a)
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    pil = np.array(Image.open(path))
+    np.testing.assert_array_equal(pil, a)
