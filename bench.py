@@ -277,11 +277,24 @@ def _guard_device_or_report() -> bool:
         _devices_with_timeout(jax, timeout_s)
         return True
     except Exception as e:
-        print(json.dumps({
+        line = {
             "metric": "yolov7_itcvd_640px_tiles_per_sec_per_chip",
             "value": 0.0, "unit": "tiles/s", "vs_baseline": 0.0,
             "error": f"accelerator unreachable: {e}"[:300],
-        }))
+        }
+        # Point at the last committed on-chip measurement so a wedged
+        # tunnel at collection time reads as "unmeasurable now", not as a
+        # throughput regression (the wedge outlasted 12 h in round 3).
+        try:
+            with open(os.path.join(os.path.dirname(__file__),
+                                   "BENCH_r02.json")) as f:
+                prev = json.load(f)
+            parsed = prev.get("parsed", prev)
+            line["last_measured"] = parsed.get("value")
+            line["last_measured_source"] = "BENCH_r02.json"
+        except Exception:
+            pass
+        print(json.dumps(line))
         return False
 
 
