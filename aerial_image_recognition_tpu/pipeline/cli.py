@@ -220,10 +220,13 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     pi = sub.add_parser("import-weights", help="turnkey weight drop: a "
                         "reference .onnx blob (torch state-dict initializer "
-                        "names) → framework .npz checkpoint, shape-validated "
-                        "against the chosen registry model")
-    pi.add_argument("onnx", help="reference .onnx blob (e.g. "
-                    "car_aerial_detection_yolo7_ITCVD_deepness.onnx)")
+                        "names) or ultralytics .pt checkpoint → framework "
+                        ".npz checkpoint, shape-validated against the "
+                        "chosen registry model")
+    pi.add_argument("onnx", help="reference blob: .onnx (e.g. "
+                    "car_aerial_detection_yolo7_ITCVD_deepness.onnx) or "
+                    ".pt/.pth (e.g. yolov8_tokyo_checkpoint.pt — no "
+                    "ultralytics install needed)")
     pi.add_argument("--model", default="yolov7_itcvd",
                     help="registry model the blob belongs to "
                          "(yolov7_itcvd, yolov7_base, yolov8_tokyo, "
@@ -284,7 +287,12 @@ def main(argv: Optional[List[str]] = None) -> int:
             load_onnx_initializers)
         from aerial_image_recognition_tpu.models.registry import (
             create_model, save_params)
-        sd = load_onnx_initializers(args.onnx)
+        if args.onnx.endswith((".pt", ".pth")):
+            from aerial_image_recognition_tpu.models.torch_pt import (
+                load_checkpoint_state)
+            sd = load_checkpoint_state(args.onnx)
+        else:
+            sd = load_onnx_initializers(args.onnx)
         if not sd:
             raise SystemExit(f"no initializer tensors found in {args.onnx!r}")
         variables = variables_from_torch_state(sd, args.model)

@@ -184,3 +184,109 @@ def test_full_export_import_roundtrip_all_families(tmp_path):
         write_minimal_onnx(p, tensors)
         back = variables_from_torch_state(load_onnx_initializers(p), model)
         _tree_equal(variables, back)
+
+
+def _fake_ultralytics_checkpoint(path, torch_sd, with_ema=False):
+    """torch.save a DetectionModel-shaped object whose classes live under
+    'ultralytics.*' module paths that are NOT importable at load time, with
+    half-precision tensors — the shape of a real yolov8_tokyo_checkpoint.pt
+    (x_arch/01_train_tokyo.ipynb cell 14 output)."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn as nn
+
+    created = []
+    for mn in ("ultralytics", "ultralytics.nn", "ultralytics.nn.tasks"):
+        if mn not in sys.modules:
+            sys.modules[mn] = types.ModuleType(mn)
+            created.append(mn)
+    DetectionModel = type("DetectionModel", (nn.Module,),
+                          {"__module__": "ultralytics.nn.tasks"})
+    sys.modules["ultralytics.nn.tasks"].DetectionModel = DetectionModel
+
+    def build():
+        root = DetectionModel()
+        root.yaml = {"nc": 2}          # non-tensor attrs ride along
+        for name, arr in torch_sd.items():
+            parts = name.split(".")
+            node = root
+            for p in parts[:-1]:
+                child = node._modules.get(p)
+                if child is None:
+                    child = nn.Module()
+                    node.add_module(p, child)
+                node = child
+            t = torch.tensor(np.asarray(arr), dtype=torch.float16)
+            if parts[-1].startswith("running_"):
+                node.register_buffer(parts[-1], t)
+            else:
+                node.register_parameter(parts[-1], nn.Parameter(t))
+        return root
+
+    torch.save({"model": build(), "ema": build() if with_ema else None,
+                "epoch": 7, "train_args": {"imgsz": 768}}, path)
+    for mn in created:
+        del sys.modules[mn]
+
+
+def test_pt_checkpoint_loads_without_ultralytics(tmp_path, rng):
+    """models.torch_pt recovers the flat state dict from an ultralytics
+    .pt whose classes aren't importable, converting half → float32."""
+    from aerial_image_recognition_tpu.models.torch_pt import (
+        load_checkpoint_state)
+
+    sd = {
+        "model.0.conv.weight": rng.normal(size=(8, 3, 3, 3)),
+        "model.0.bn.weight": rng.normal(size=(8,)),
+        "model.0.bn.running_mean": rng.normal(size=(8,)),
+        "model.22.cv3.0.2.bias": rng.normal(size=(2,)),
+    }
+    sd = {k: v.astype(np.float32) for k, v in sd.items()}
+    p = str(tmp_path / "ckpt.pt")
+    _fake_ultralytics_checkpoint(p, sd)
+    back = load_checkpoint_state(p)
+    assert set(back) == set(sd)
+    for k, v in sd.items():
+        assert back[k].dtype == np.float32
+        np.testing.assert_array_equal(back[k],
+                                      np.float16(v).astype(np.float32),
+                                      err_msg=k)
+
+
+def test_cli_import_weights_pt_drill(tmp_path):
+    """The .pt leg of the turnkey weight-drop drill: a fabricated
+    ultralytics-style yolov8n checkpoint (EMA weights, half precision,
+    unimportable classes) imports through the CLI and forward-matches the
+    independent torch interpreter on the same weights."""
+    import jax.numpy as jnp
+
+    from aerial_image_recognition_tpu.models.registry import (
+        create_model, load_params)
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        make_state_dict, run_spec_torch, yolov8_spec)
+    from aerial_image_recognition_tpu.pipeline.cli import main
+
+    spec = yolov8_spec("n")
+    sd = make_state_dict(spec, nc=2, seed=5)
+    # round through f16 up front so the checkpoint's half storage is exact
+    # and both forward paths see identical weights
+    sd = {k: np.float16(v).astype(np.float32) for k, v in sd.items()}
+    p = str(tmp_path / "yolov8_tokyo_checkpoint.pt")
+    _fake_ultralytics_checkpoint(p, sd, with_ema=True)
+
+    out = str(tmp_path / "imported.npz")
+    assert main(["import-weights", p, "--model", "yolov8n",
+                 "--out", out]) == 0
+
+    bundle = create_model("yolov8n", dtype=jnp.float32)
+    variables = load_params(out)
+    x = np.random.default_rng(0).uniform(0, 1, (1, 3, 64, 64)).astype(
+        np.float32)
+    flax_outs = bundle.module.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    torch_outs = run_spec_torch(spec, sd, x, nc=2, family="yolov8")
+    for f, t in zip(flax_outs, torch_outs):
+        f, t = np.asarray(f), np.transpose(t, (0, 2, 3, 1))
+        assert np.max(np.abs(f - t)) / (np.max(np.abs(t)) + 1e-6) < 2e-4
