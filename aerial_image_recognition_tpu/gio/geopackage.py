@@ -138,7 +138,8 @@ def write_gpkg(path: str, features: Sequence[Dict], *, layer: str,
 
     features: [{'type':'Feature','properties':{...},'geometry':{...}}]
     (a FeatureCollection dict's 'features' list works directly).
-    Attribute columns are inferred from the first feature's properties.
+    Attribute columns are the union over all features' properties; each
+    column's SQL type comes from its first non-None value.
     """
     if os.path.exists(path):
         os.remove(path)
@@ -175,8 +176,20 @@ def write_gpkg(path: str, features: Sequence[Dict], *, layer: str,
             "m TINYINT NOT NULL, CONSTRAINT pk_geom_cols PRIMARY KEY "
             "(table_name, column_name))")
 
-        props0 = features[0]["properties"] if features else {}
-        cols = [(k, _sql_type(v)) for k, v in props0.items()]
+        # column set = union over all features (insertion-ordered); column
+        # type = first NON-None value per key, so a leading None can't
+        # demote a numeric column to TEXT (sqlite TEXT affinity would then
+        # corrupt 0.7 into the string '0.7' on read-back)
+        col_types: Dict[str, str] = {}
+        seen_real: Dict[str, bool] = {}
+        for f in features:
+            for k, v in (f.get("properties") or {}).items():
+                if v is not None and not seen_real.get(k):
+                    col_types[k] = _sql_type(v)
+                    seen_real[k] = True
+                else:
+                    col_types.setdefault(k, "TEXT")
+        cols = list(col_types.items())
         col_sql = "".join(f', "{k}" {t}' for k, t in cols)
         cur.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY '
                     f"AUTOINCREMENT, geom BLOB{col_sql})")
@@ -184,7 +197,8 @@ def write_gpkg(path: str, features: Sequence[Dict], *, layer: str,
         xs, ys = [], []
         for f in features:
             blob = _gpkg_blob(f["geometry"], srs_id)
-            vals = [f["properties"].get(k) for k, _t in cols]
+            props = f.get("properties") or {}
+            vals = [props.get(k) for k, _t in cols]
             ph = ",".join("?" * (1 + len(cols)))
             cur.execute(f'INSERT INTO "{layer}" (geom'
                         + "".join(f', "{k}"' for k, _t in cols)
@@ -225,12 +239,16 @@ def read_gpkg(path: str, layer: Optional[str] = None) -> Dict:
             if row is None:
                 raise ValueError(f"no feature layer in {path!r}")
             layer = row[0]
+        decl = {r[1]: (r[2] or "").upper() for r in
+                cur.execute(f'PRAGMA table_info("{layer}")').fetchall()}
         cur.execute(f'SELECT * FROM "{layer}"')
         names = [d[0] for d in cur.description]
         gi = names.index("geom")
         feats: List[Dict] = []
         for row in cur.fetchall():
-            props = {n: v for i, (n, v) in enumerate(zip(names, row))
+            props = {n: (bool(v) if decl.get(n) == "BOOLEAN"
+                         and v is not None else v)
+                     for i, (n, v) in enumerate(zip(names, row))
                      if i != gi and n != "fid"}
             geom = _gpkg_parse(row[gi]) if row[gi] is not None else None
             feats.append({"type": "Feature", "properties": props,

@@ -27,22 +27,67 @@ __all__ = ["load_checkpoint_state"]
 
 
 def _make_stub(module: str, name: str) -> type:
-    """An attribute-bag class standing in for an unimportable one.
+    """An attribute-bag class standing in for a disallowed one.
 
     pickle rebuilds plain objects via ``cls.__new__(cls)`` +
     ``__dict__.update(state)`` — no constructor call — so an empty class
     faithfully captures whatever attribute tree the original carried.
+    ``__new__``/``__init__`` swallow constructor args so REDUCE/NEWOBJ
+    opcodes targeting a stubbed callable become inert no-ops instead of
+    executing anything.
     """
-    return type(name, (), {"__module__": module,
-                           "_aerial_stub_origin": f"{module}.{name}"})
+    return type(name, (), {
+        "__module__": module,
+        "_aerial_stub_origin": f"{module}.{name}",
+        "__new__": lambda cls, *a, **k: object.__new__(cls),
+        "__init__": lambda self, *a, **k: None,
+    })
+
+
+_NUMPY_MODULES = {"numpy", "numpy.core.multiarray", "numpy._core.multiarray"}
+_NUMPY_NAMES = {"ndarray", "dtype", "_reconstruct", "scalar", "bool_"}
 
 
 class _StubUnpickler(pickle.Unpickler):
+    """Allowlist unpickler: only the primitives needed to rebuild tensors
+    resolve to real callables; EVERY other global — importable or not —
+    becomes an inert stub. A crafted .pt whose stream references e.g.
+    ``os.system`` therefore gets a do-nothing class, not code execution,
+    while the module-tree walker below still sees the full attribute tree.
+    """
+
     def find_class(self, module, name):
-        try:
+        if self._allowed(module, name):
             return super().find_class(module, name)
-        except (ImportError, AttributeError):
-            return _make_stub(module, name)
+        return _make_stub(module, name)
+
+    @staticmethod
+    def _allowed(module: str, name: str) -> bool:
+        if module == "collections" and name in ("OrderedDict", "defaultdict",
+                                                "deque"):
+            return True
+        # torch's tensor/parameter reconstruction helpers (pure rebuilds,
+        # the same set torch's own weights_only unpickler trusts)
+        if module == "torch._utils" and name.startswith("_rebuild_"):
+            return True
+        if module == "torch" and name in ("Size", "device"):
+            return True
+        # legacy typed-storage globals referenced by persistent-id tuples
+        if module == "torch" and name.endswith("Storage"):
+            return True
+        if module == "torch.storage" and name in (
+                "TypedStorage", "UntypedStorage",
+                "_TypedStorage", "_UntypedStorage"):
+            return True
+        if module == "torch":
+            import torch
+            obj = getattr(torch, name, None)
+            return isinstance(obj, torch.dtype)   # torch.float16 etc.
+        if module == "torch.serialization" and name == "_get_layout":
+            return True
+        if module in _NUMPY_MODULES and name in _NUMPY_NAMES:
+            return True
+        return False
 
 
 def _stub_pickle_module() -> types.ModuleType:

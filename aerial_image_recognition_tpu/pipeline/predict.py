@@ -84,10 +84,11 @@ def predict_images(paths: Sequence[str], *, model: str = "yolov7_itcvd",
                            conf_threshold=confidence,
                            iou_threshold=iou_threshold, max_det=max_det)
 
-    originals = [(p, _load_rgb(p)) for p in paths]
     out: List[ImagePrediction] = []
-    for i0 in range(0, len(originals), batch):
-        chunk = originals[i0:i0 + batch]
+    for i0 in range(0, len(paths), batch):
+        # decode per chunk — a directory of ~1800-px city crops decoded
+        # up front would hold every ~10 MB array simultaneously
+        chunk = [(p, _load_rgb(p)) for p in paths[i0:i0 + batch]]
         resized = []
         for _p, arr in chunk:
             if arr.shape[0] != s or arr.shape[1] != s:

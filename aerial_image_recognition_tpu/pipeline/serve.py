@@ -30,7 +30,9 @@ API:
       probability map is resized back before thresholding — the same
       model-res→window-res discipline as rasters._place_probs.
   GET  /healthz → {"ok": true, "model": ..., "batch": ..., "segment": ...}
-  GET  /stats   → request/batch counters and timings
+  GET  /stats   → request/batch counters and timings (top-level keys are
+                  all-plane totals; ``planes.<name>`` holds each plane's
+                  own batches / batch_fill_sum / compute_s)
 """
 
 import base64
@@ -83,6 +85,9 @@ class _Plane:
         self.input_size = input_size
         self.dispatch = dispatch
         self.finish = finish
+        # per-plane batching counters — the top-level stats keys aggregate
+        # across planes, which conflates detect's and segment's fill/latency
+        self.counters = {"batches": 0, "batch_fill_sum": 0, "compute_s": 0.0}
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         # dispatched-but-unread batches: depth 2 bounds in-flight device
         # memory while letting the next batch assemble and dispatch
@@ -189,6 +194,9 @@ class _Plane:
                 server.stats["batches"] += 1
                 server.stats["batch_fill_sum"] += len(group)
                 server.stats["compute_s"] += dt
+                self.counters["batches"] += 1
+                self.counters["batch_fill_sum"] += len(group)
+                self.counters["compute_s"] += dt
 
 
 class DetectionServer:
@@ -270,7 +278,10 @@ class DetectionServer:
                         "segment": "segment" in server._planes})
                 elif path == "/stats":
                     with server._stats_lock:
-                        self._reply(200, dict(server.stats))
+                        out = dict(server.stats)
+                        out["planes"] = {n: dict(pl.counters)
+                                         for n, pl in server._planes.items()}
+                    self._reply(200, out)
                 else:
                     self._reply(404, {"error": "unknown path"})
 

@@ -286,12 +286,16 @@ def _guard_device_or_report() -> bool:
         # tunnel at collection time reads as "unmeasurable now", not as a
         # throughput regression (the wedge outlasted 12 h in round 3).
         try:
-            with open(os.path.join(os.path.dirname(__file__),
-                                   "BENCH_r02.json")) as f:
-                prev = json.load(f)
-            parsed = prev.get("parsed", prev)
-            line["last_measured"] = parsed.get("value")
-            line["last_measured_source"] = "BENCH_r02.json"
+            import glob
+            cands = sorted(glob.glob(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*.json")))
+            if cands:
+                with open(cands[-1]) as f:
+                    prev = json.load(f)
+                parsed = prev.get("parsed", prev)
+                line["last_measured"] = parsed.get("value")
+                line["last_measured_source"] = os.path.basename(cands[-1])
         except Exception:
             pass
         print(json.dumps(line))

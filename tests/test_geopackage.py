@@ -153,3 +153,31 @@ def test_hex_heatmap_writes_gpkg(tmp_path):
     f = fc["features"][0]
     assert f["geometry"]["type"] == "Polygon"
     assert f["properties"]["count"] >= 1
+
+
+def test_gpkg_column_inference_across_features(tmp_path):
+    """Column types come from the first NON-None value per key, the column
+    set is the union over features, and booleans survive the round trip —
+    a leading None must not demote REAL to TEXT (sqlite TEXT affinity
+    would hand back the string '0.7')."""
+    from aerial_image_recognition_tpu.gio.geopackage import (
+        read_gpkg, write_gpkg)
+
+    geom = {"type": "Point", "coordinates": [1.0, 2.0]}
+    feats = [
+        {"type": "Feature", "properties": {"score": None, "flag": True},
+         "geometry": geom},
+        {"type": "Feature",
+         "properties": {"score": 0.7, "flag": False, "late": 3},
+         "geometry": geom},
+    ]
+    p = str(tmp_path / "u.gpkg")
+    write_gpkg(p, feats, layer="pts", geometry_type="POINT")
+    back = read_gpkg(p)["features"]
+    assert back[0]["properties"]["score"] is None
+    assert back[1]["properties"]["score"] == 0.7
+    assert isinstance(back[1]["properties"]["score"], float)
+    assert back[0]["properties"]["flag"] is True
+    assert back[1]["properties"]["flag"] is False
+    assert back[0]["properties"]["late"] is None   # union column, backfilled
+    assert back[1]["properties"]["late"] == 3

@@ -290,3 +290,56 @@ def test_cli_import_weights_pt_drill(tmp_path):
     for f, t in zip(flax_outs, torch_outs):
         f, t = np.asarray(f), np.transpose(t, (0, 2, 3, 1))
         assert np.max(np.abs(f - t)) / (np.max(np.abs(t)) + 1e-6) < 2e-4
+
+
+def test_pt_loader_never_executes_untrusted_globals(tmp_path):
+    """The .pt ingestion surface exists to accept THIRD-PARTY blobs, so a
+    crafted pickle stream referencing an importable callable (the classic
+    ``os.system`` reduce) must come back as an inert stub, not execute.
+    The allowlist unpickler resolves only tensor-rebuild primitives."""
+    import os
+    import pickle
+    import zipfile
+
+    from aerial_image_recognition_tpu.models.torch_pt import (
+        load_checkpoint_state)
+
+    marker = tmp_path / "pwned"
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, (f"touch {marker}",))
+
+    p = str(tmp_path / "evil.pt")
+    # torch zip-format container with a malicious data.pkl
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("evil/data.pkl", pickle.dumps({"model": Evil()}))
+        z.writestr("evil/version", "3\n")
+    try:
+        load_checkpoint_state(p)
+    except Exception:
+        pass  # rejecting the stream entirely is also fine
+    assert not marker.exists(), "untrusted pickle executed code"
+
+
+def test_pt_loader_stub_allowlist_unit():
+    """Direct unit check of the allowlist: os.system and subprocess are
+    stubbed even though importable; tensor-rebuild primitives resolve."""
+    import io
+    import pickle
+
+    from aerial_image_recognition_tpu.models.torch_pt import _StubUnpickler
+
+    u = _StubUnpickler(io.BytesIO(b""))
+    stub = u.find_class("os", "system")
+    assert getattr(stub, "_aerial_stub_origin", None) == "os.system"
+    from collections import OrderedDict
+    stub("echo should-not-run")  # calling a stub is an inert no-op
+    assert u.find_class("subprocess", "Popen") is not None  # stubbed too
+    assert getattr(u.find_class("subprocess", "Popen"),
+                   "_aerial_stub_origin", None) == "subprocess.Popen"
+    import torch
+    assert u.find_class("torch._utils", "_rebuild_tensor_v2") \
+        is torch._utils._rebuild_tensor_v2
+    assert u.find_class("collections", "OrderedDict") is OrderedDict
+    assert u.find_class("torch", "float16") is torch.float16

@@ -69,10 +69,18 @@ def server():
     srv.stop()
 
 
+_BBOXES = None
+
+
 def _candidate_bboxes():
     """Held-out tile bboxes (seed the training run never used) that
     actually contain buildings (≥3% ground-truth coverage) — random tiles
-    can land on empty ground, where mask IoU is undefined."""
+    can land on empty ground, where mask IoU is undefined. Memoized and
+    computed lazily: 32 mask renders at pytest COLLECTION time would tax
+    every suite run even when this module is skipped or deselected."""
+    global _BBOXES
+    if _BBOXES is not None:
+        return _BBOXES
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "examples"))
@@ -82,14 +90,13 @@ def _candidate_bboxes():
         if WORLD.render_mask(bbox, SIZE, SIZE).mean() >= 0.03:
             out.append(bbox)
     assert len(out) >= 8, "fake world unexpectedly sparse"
+    _BBOXES = out
     return out
 
 
-BBOXES = _candidate_bboxes()
-
-
 def _tile(k, size=SIZE):
-    bbox = BBOXES[k % len(BBOXES)]
+    bboxes = _candidate_bboxes()
+    bbox = bboxes[k % len(bboxes)]
     img = WORLD.render(bbox, size, size)
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, "JPEG", quality=95)
@@ -163,8 +170,11 @@ def test_segment_coalesces_concurrent_requests(server):
         assert r.status_code == 200, r.text
     after = requests.get(server.url + "/stats", timeout=10).json()
     assert after["segment_requests"] - before["segment_requests"] == 8
-    # 8 concurrent requests must not take 8 batches
-    assert after["batches"] - before["batches"] <= 6
+    # 8 concurrent requests must not take 8 batches; the per-plane counter
+    # is immune to concurrent detect-plane traffic
+    seg_before = before["planes"]["segment"]["batches"]
+    seg_after = after["planes"]["segment"]["batches"]
+    assert seg_after - seg_before <= 6
 
 
 def test_segment_404_when_not_enabled():
