@@ -9,26 +9,78 @@ crossing PCIe are uint8 (4× less than f32) and the conversion fuses into the
 first conv's HLO. NHWC throughout (TPU-native conv layout).
 """
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=32)
+def _resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
+    """Exact 1-D interpolation matrix [dst, src] for ``jax.image.resize``.
+
+    resize is linear and separable per axis, so resizing the identity
+    matrix along one axis yields the axis's full weight matrix (including
+    the antialiasing kernel widening jax applies when downscaling) — the
+    two-matrix product Ry · X · Rxᵀ reproduces jax.image.resize exactly
+    in exact arithmetic. Row-normalized weights sum to 1, so folding the
+    /255 normalization in costs nothing.
+    """
+    eye = np.eye(src, dtype=np.float32)
+    # ensure_compile_time_eval: this helper is reached from inside a jit
+    # trace (preprocess_batch), where resize would return a tracer
+    with jax.ensure_compile_time_eval():
+        m = jax.image.resize(jnp.asarray(eye), (dst, src), method=method)
+        return np.asarray(m)
+
+
+def _matmul_resize(x_u8: jnp.ndarray, out_size: int, method: str,
+                   dtype) -> jnp.ndarray:
+    """uint8 [B,H,W,C] → normalized [B,out,out,C] via two MXU contractions.
+
+    The straightforward lowering (f32 /255 then jax.image.resize) runs the
+    separable contractions at the f32 MXU rate and quadruples the HBM
+    bytes of the biggest tensor; measured ~20 ms of the src864 step's
+    time at batch 128. Here pixels stay exact in bf16 (integers ≤255 fit
+    bf16's 8-bit mantissa), both contractions run at the bf16 MXU rate
+    with f32 accumulation, and /255 is folded into the height matrix.
+    """
+    b, h, w, c = x_u8.shape
+    ry = jnp.asarray(_resize_matrix(h, out_size, method) / 255.0,
+                     jnp.bfloat16)
+    rx = jnp.asarray(_resize_matrix(w, out_size, method), jnp.bfloat16)
+    xb = x_u8.astype(jnp.bfloat16)
+    # height pass: contract H → [out_h, B, W, C]
+    y = jax.lax.dot_general(
+        ry, xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    # width pass: contract W → [out_w, out_h, B, C]
+    z = jax.lax.dot_general(
+        rx, y, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+    return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
 
 
 @partial(jax.jit, static_argnames=("out_size", "method", "dtype",
-                                   "crop_size"))
+                                   "crop_size", "matmul"))
 def preprocess_batch(images: jnp.ndarray, *,
                      out_size: int = 640,
                      crop_size: Optional[int] = None,
                      method: str = "bilinear",
-                     dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
+                     dtype: jnp.dtype = jnp.bfloat16,
+                     matmul: bool = True) -> jnp.ndarray:
     """uint8 [B,H,W,3] → normalized [B,out_size,out_size,3] in ``dtype``.
 
     crop_size: optional center-crop (in source pixels) before the resize —
     the XYZ path's 1024→864 center crop (reference xyz_handler.py:165-170).
     method: 'bilinear' | 'nearest' | 'lanczos3' (the reference's monolith
     used PIL nearest at simple_detector.py:462; XYZ used LANCZOS).
+
+    Linear separable methods (bilinear/lanczos3) resize via two bf16 MXU
+    contractions (see _matmul_resize) — same weights as jax.image.resize,
+    measured ~4× faster on the 864→640 production geometry.
     """
     x = images
     b, h, w, c = x.shape
@@ -37,9 +89,13 @@ def preprocess_batch(images: jnp.ndarray, *,
         ox = (w - crop_size) // 2
         x = jax.lax.slice(x, (0, oy, ox, 0), (b, oy + crop_size,
                                               ox + crop_size, c))
+        b, h, w, c = x.shape
+    if (h, w) == (out_size, out_size):
+        return (x.astype(jnp.float32) / 255.0).astype(dtype)
+    if matmul and method in ("bilinear", "lanczos3"):
+        return _matmul_resize(x, out_size, method, dtype)
     x = x.astype(jnp.float32) / 255.0
-    if x.shape[1] != out_size or x.shape[2] != out_size:
-        x = jax.image.resize(x, (b, out_size, out_size, c), method=method)
+    x = jax.image.resize(x, (b, out_size, out_size, c), method=method)
     return x.astype(dtype)
 
 

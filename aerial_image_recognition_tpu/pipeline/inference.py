@@ -105,7 +105,10 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
         x = preprocess_batch(
             images_u8, out_size=model_size, crop_size=crop_size,
             method="bilinear",
-            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32)
+            dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
+            # MXU separable resize (ops/preprocess._matmul_resize);
+            # extra.resize_matmul=false restores the f32 gather lowering
+            matmul=bool(cfg.extra.get("resize_matmul", True)))
         if cfg.extra.get("enhance_shadows"):
             # XYZ-path shadow enhancement (xyz_handler.py:177-185), on device
             from aerial_image_recognition_tpu.ops.augment import enhance_shadows

@@ -214,6 +214,66 @@ def bench_mode(mode: str):
                "bf16": round(v_f, 2),
                "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
                                          2)}
+    elif mode == "resize_ab":
+        # interleaved A/B of the two src864 resize lowerings: the f32
+        # gather jax.image.resize path vs the bf16 separable MXU
+        # contraction (ops/preprocess._matmul_resize); optionally int8
+        # trunks via BENCH_INT8=1 (parity pinned in tests)
+        cfg_new, cfg_old = DetectorConfig(), DetectorConfig()
+        cfg_old.extra["resize_matmul"] = False
+        bundle = None
+        if os.environ.get("BENCH_INT8"):
+            from aerial_image_recognition_tpu.models.int8 import (
+                quantize_bundle)
+            b0 = create_model("yolov7_itcvd", dtype=jnp.bfloat16)
+            calib = [rng.integers(0, 255, (16, 640, 640, 3),
+                                  dtype=np.uint8)]
+            bundle = quantize_bundle(b0, calib)
+        kw = dict(batch=batch, src_size=864)
+        if bundle is not None:
+            kw["bundle"] = bundle
+        step_new = build_detect_step(cfg_new, **kw)
+        step_old = build_detect_step(cfg_old, **kw)
+        v_new = v_old = 0.0
+        for _ in range(2):
+            v_new = max(v_new, measure(step_new, 864))
+            v_old = max(v_old, measure(step_old, 864))
+        out = {"metric": "yolov7_itcvd_src864_resize_ab_tiles_per_sec",
+               "value": round(v_new, 2), "unit": "tiles/s",
+               "vs_baseline": round(v_new / baseline, 4),
+               "gather_lowering": round(v_old, 2),
+               "int8": bool(os.environ.get("BENCH_INT8")),
+               "matmul_speedup_pct": round(
+                   100.0 * (v_new / max(v_old, 1e-9) - 1), 2)}
+    elif mode in ("int8_src864", "int8_tta"):
+        # int8 × the deployed configurations: the XYZ crop→resize geometry
+        # and the full TTA ladder (correctness of both compositions is
+        # pinned by tests/test_int8.py; these record what they SUSTAIN)
+        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+        cfg = DetectorConfig()
+        src = 640
+        kw = {}
+        if mode == "int8_src864":
+            kw["src_size"] = src = 864
+        else:
+            cfg.extra["tta"] = True
+        bundle = create_model("yolov7_itcvd", dtype=jnp.bfloat16)
+        calib = [rng.integers(0, 255, (16, 640, 640, 3), dtype=np.uint8)]
+        qb = quantize_bundle(bundle, calib)
+        step_q = build_detect_step(cfg, batch=batch, bundle=qb, **kw)
+        step_f = build_detect_step(cfg, batch=batch, bundle=bundle, **kw)
+        v_q = v_f = 0.0
+        for _ in range(2):                             # interleaved A/B
+            v_q = max(v_q, measure(step_q, src))
+            v_f = max(v_f, measure(step_f, src))
+        label = ("yolov7_itcvd_int8_src864_to_640" if mode == "int8_src864"
+                 else "yolov7_itcvd_int8_tta_640px")
+        out = {"metric": f"{label}_tiles_per_sec_per_chip",
+               "value": round(v_q, 2), "unit": "tiles/s",
+               "vs_baseline": round(v_q / baseline, 4),
+               "bf16": round(v_f, 2),
+               "int8_speedup_pct": round(100.0 * (v_q / max(v_f, 1e-9) - 1),
+                                         2)}
     elif mode == "int8_xunet":
         # segmentation executor: XUnet-256 bf16 vs int8 trunk
         # (models/int8.quantize_xunet; mask parity pinned by

@@ -84,26 +84,34 @@ def test_two_process_real_scan_merges_to_single_process_result(tmp_path):
     srv = FakeTileServer(FakeWorld(**WORLD_KW))
     srv.start()
     try:
-        coord = f"127.0.0.1:{_free_port()}"
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         outs = [str(tmp_path / f"host{i}.json") for i in range(2)]
-        procs = [subprocess.Popen(
-            [sys.executable, WORKER, coord, str(i), "2", outs[i],
-             srv.base_url, frame],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-            for i in range(2)]
-        logs = []
-        try:
-            for p in procs:
-                stdout, _ = p.communicate(timeout=600)
-                logs.append(stdout.decode(errors="replace"))
-            assert all(p.returncode == 0 for p in procs), "\n".join(logs)
-        finally:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
+        # one retry on coordination-layer timeouts (see the training test)
+        for attempt in range(2):
+            coord = f"127.0.0.1:{_free_port()}"
+            procs = [subprocess.Popen(
+                [sys.executable, WORKER, coord, str(i), "2", outs[i],
+                 srv.base_url, frame],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+                for i in range(2)]
+            logs = []
+            try:
+                for p in procs:
+                    stdout, _ = p.communicate(timeout=600)
+                    logs.append(stdout.decode(errors="replace"))
+            finally:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+            if all(p.returncode == 0 for p in procs):
+                break
+            transient = any(s in l for l in logs
+                            for s in ("Connect timeout",
+                                      "initialization failed",
+                                      "DEADLINE_EXCEEDED"))
+            assert attempt == 0 and transient, "\n".join(logs)
 
         results = [json.load(open(o)) for o in outs]
         assert {r["process_index"] for r in results} == {0, 1}
@@ -170,26 +178,35 @@ def test_two_process_training_matches_single_process(tmp_path):
     all-reduce crosses the process boundary. Final parameters must match a
     single-process run of the identical data stream (and agree between the
     two processes)."""
-    coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     outs = [str(tmp_path / f"train{i}.json") for i in range(2)]
-    procs = [subprocess.Popen(
-        [sys.executable, TRAIN_WORKER, coord, str(i), "2", outs[i]],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)]
-    logs = []
-    try:
-        for p in procs:
-            stdout, _ = p.communicate(timeout=900)
-            logs.append(stdout.decode(errors="replace"))
-        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+    # one retry: Gloo's cross-process connect can time out when the box is
+    # oversubscribed (observed in a full-suite run sharing the machine with
+    # other jobs); a coordination-layer timeout is not a product failure
+    for attempt in range(2):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, TRAIN_WORKER, coord, str(i), "2", outs[i]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+            for i in range(2)]
+        logs = []
+        try:
+            for p in procs:
+                stdout, _ = p.communicate(timeout=900)
+                logs.append(stdout.decode(errors="replace"))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        if all(p.returncode == 0 for p in procs):
+            break
+        transient = any(s in l for l in logs
+                        for s in ("Connect timeout", "initialization failed",
+                                  "DEADLINE_EXCEEDED"))
+        assert attempt == 0 and transient, "\n".join(logs)
 
     results = [json.load(open(o)) for o in outs]
     assert {r["process_index"] for r in results} == {0, 1}

@@ -104,3 +104,32 @@ def test_scan_survives_fetch_failures(tmp_path, monkeypatch):
         fetcher.close()
     finally:
         srv.stop()
+
+
+def test_matmul_resize_matches_reference_lowering(rng):
+    """The separable MXU resize (two bf16 contractions with the exact
+    jax.image.resize weight matrices, /255 folded in) tracks the f32
+    jax.image.resize lowering within bf16 rounding — down- and up-scale,
+    both linear methods, and the crop→resize composition."""
+    x = rng.integers(0, 256, (2, 864, 864, 3)).astype(np.uint8)
+    for method in ("bilinear", "lanczos3"):
+        ref = jax.image.resize(jnp.asarray(x, jnp.float32) / 255.0,
+                               (2, 640, 640, 3), method=method)
+        got = preprocess_batch(jnp.asarray(x), out_size=640, method=method,
+                               dtype=jnp.float32)
+        d = np.abs(np.asarray(ref) - np.asarray(got))
+        assert d.max() <= 0.010, (method, d.max())   # ≈2.5 u8 LSB
+        assert d.mean() <= 0.002, (method, d.mean())
+    y = rng.integers(0, 256, (2, 96, 96, 3)).astype(np.uint8)
+    ref_up = jax.image.resize(jnp.asarray(y, jnp.float32) / 255.0,
+                              (2, 256, 256, 3), method="bilinear")
+    got_up = preprocess_batch(jnp.asarray(y), out_size=256,
+                              dtype=jnp.float32)
+    assert np.abs(np.asarray(ref_up) - np.asarray(got_up)).max() <= 0.010
+    # crop → resize composes (the XYZ 1024→864 center crop geometry)
+    ref_cr = jax.image.resize(
+        jnp.asarray(x[:, 80:-80, 80:-80], jnp.float32) / 255.0,
+        (2, 640, 640, 3), method="bilinear")
+    got_cr = preprocess_batch(jnp.asarray(x), out_size=640, crop_size=704,
+                              dtype=jnp.float32)
+    assert np.abs(np.asarray(ref_cr) - np.asarray(got_cr)).max() <= 0.010
