@@ -63,6 +63,30 @@ def _matmul_resize(x_u8: jnp.ndarray, out_size: int, method: str,
     return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
 
 
+def matmul_resize_float(x: jnp.ndarray, out_size: int,
+                        method: str = "bilinear") -> jnp.ndarray:
+    """float [B,H,W,C] → [B,out,out,C] via two bf16 MXU contractions.
+
+    The already-normalized-input sibling of ``_matmul_resize`` (no /255
+    fold): same exact ``jax.image.resize`` weight matrices, both separable
+    contractions on the MXU in bf16 with f32 accumulation, result cast
+    back to ``x.dtype``. Used by the multiscale inference mode
+    (pipeline/inference.py), where the tensors being rescaled are the
+    preprocessed bf16 tiles rather than uint8 ingest batches.
+    """
+    b, h, w, c = x.shape
+    ry = jnp.asarray(_resize_matrix(h, out_size, method), jnp.bfloat16)
+    rx = jnp.asarray(_resize_matrix(w, out_size, method), jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        ry, xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    z = jax.lax.dot_general(
+        rx, y, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
+
+
 @partial(jax.jit, static_argnames=("out_size", "method", "dtype",
                                    "crop_size", "matmul"))
 def preprocess_batch(images: jnp.ndarray, *,

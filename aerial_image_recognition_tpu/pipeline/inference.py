@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from aerial_image_recognition_tpu.models.registry import ModelBundle, create_model
 from aerial_image_recognition_tpu.ops.nms import batched_nms
-from aerial_image_recognition_tpu.ops.preprocess import preprocess_batch
+from aerial_image_recognition_tpu.ops.preprocess import (matmul_resize_float,
+                                                         preprocess_batch)
 from aerial_image_recognition_tpu.post.georef import lonlat_jax
 from aerial_image_recognition_tpu.runtime.config import DetectorConfig
 
@@ -134,12 +135,20 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             # [0.85, 1.0, 1.15]): forward at each scale, union the decoded
             # boxes (rescaled to the base frame) before one NMS
             scales = tuple(cfg.extra["multiscale"])
+            use_mm = bool(cfg.extra.get("resize_matmul", True))
             boxes_l, scores_l = [], []
             for sc in scales:
                 size_s = max(32, int(round(model_size * sc / 32)) * 32)
-                xs = (x if size_s == model_size else jax.image.resize(
-                    x, (x.shape[0], size_s, size_s, x.shape[3]),
-                    method="bilinear"))
+                if size_s == model_size:
+                    xs = x
+                elif use_mm:
+                    # bf16 MXU separable resize (same exact weights as
+                    # jax.image.resize — ops/preprocess.matmul_resize_float)
+                    xs = matmul_resize_float(x, size_s, "bilinear")
+                else:
+                    xs = jax.image.resize(
+                        x, (x.shape[0], size_s, size_s, x.shape[3]),
+                        method="bilinear")
                 bb, ss = bundle.forward(params, xs)
                 boxes_l.append(bb * (model_size / size_s))
                 scores_l.append(ss)

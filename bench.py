@@ -245,6 +245,30 @@ def bench_mode(mode: str):
                "int8": bool(os.environ.get("BENCH_INT8")),
                "matmul_speedup_pct": round(
                    100.0 * (v_new / max(v_old, 1e-9) - 1), 2)}
+    elif mode == "multiscale":
+        # the archived-generation multiscale mode (x_arch/03_analyze_wms
+        # cell 8 scales [0.85, 1.0, 1.15]) — the last deployed-mode knob
+        # without a recorded number. Interleaved A/B of its device rescale
+        # lowering: bf16 MXU separable contractions
+        # (ops/preprocess.matmul_resize_float) vs jax.image.resize.
+        cfg_new, cfg_old = DetectorConfig(), DetectorConfig()
+        for c in (cfg_new, cfg_old):
+            c.extra["multiscale"] = [0.85, 1.0, 1.15]
+        cfg_old.extra["resize_matmul"] = False
+        step_new = build_detect_step(cfg_new, batch=batch)
+        step_old = build_detect_step(cfg_old, batch=batch)
+        v_new = v_old = 0.0
+        for _ in range(2):
+            v_new = max(v_new, measure(step_new, 640))
+            v_old = max(v_old, measure(step_old, 640))
+        out = {"metric": "yolov7_itcvd_multiscale3_tiles_per_sec_per_chip",
+               "value": round(v_new, 2), "unit": "tiles/s",
+               "vs_baseline": round(v_new / baseline, 4),
+               "gather_lowering": round(v_old, 2),
+               "matmul_speedup_pct": round(
+                   100.0 * (v_new / max(v_old, 1e-9) - 1), 2),
+               "note": "3-scale union NMS; throughput is per SOURCE tile "
+                       "(each forwards at 544/640/736)"}
     elif mode in ("int8_src864", "int8_tta"):
         # int8 × the deployed configurations: the XYZ crop→resize geometry
         # and the full TTA ladder (correctness of both compositions is

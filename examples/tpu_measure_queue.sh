@@ -17,6 +17,8 @@ echo "=== BENCH_MODE=int8_tta (full TTA ladder, int8 A/B) ==="
 BENCH_MODE=int8_tta timeout 3000 python bench.py
 echo "=== BENCH_MODE=resize_ab (src864 MXU matmul resize vs f32 gather) ==="
 BENCH_MODE=resize_ab timeout 3000 python bench.py
+echo "=== BENCH_MODE=multiscale (3-scale union NMS, MXU vs gather rescale) ==="
+BENCH_MODE=multiscale timeout 3000 python bench.py
 echo "=== flagship entry compile check ==="
 timeout 1200 python __graft_entry__.py
 echo "=== done $(date -u) ==="

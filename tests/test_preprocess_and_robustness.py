@@ -133,3 +133,25 @@ def test_matmul_resize_matches_reference_lowering(rng):
     got_cr = preprocess_batch(jnp.asarray(x), out_size=640, crop_size=704,
                               dtype=jnp.float32)
     assert np.abs(np.asarray(ref_cr) - np.asarray(got_cr)).max() <= 0.010
+
+
+def test_matmul_resize_float_matches_image_resize(rng):
+    """The float-input MXU resize (multiscale inference path) tracks
+    jax.image.resize within bf16 rounding at the multiscale geometries
+    (640→544 down, 640→736 up), in both f32 and bf16 input dtypes."""
+    from aerial_image_recognition_tpu.ops.preprocess import (
+        matmul_resize_float)
+    x = rng.random((2, 640, 640, 3)).astype(np.float32)
+    for dst in (544, 736):
+        ref = jax.image.resize(jnp.asarray(x), (2, dst, dst, 3),
+                               method="bilinear")
+        got = matmul_resize_float(jnp.asarray(x), dst)
+        d = np.abs(np.asarray(ref) - np.asarray(got))
+        assert d.max() <= 0.012, (dst, d.max())      # bf16 relative step
+        assert d.mean() <= 0.002, (dst, d.mean())
+        xb = jnp.asarray(x, jnp.bfloat16)
+        got_b = matmul_resize_float(xb, dst)
+        assert got_b.dtype == jnp.bfloat16 and got_b.shape == ref.shape
+        db = np.abs(np.asarray(ref) -
+                    np.asarray(got_b, dtype=np.float32))
+        assert db.max() <= 0.020, (dst, db.max())
