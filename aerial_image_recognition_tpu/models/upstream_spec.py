@@ -514,3 +514,136 @@ def run_spec_torch(spec: Sequence[Tuple], sd: Dict[str, np.ndarray],
                 raise ValueError(f"unknown op {op!r} at layer {i}")
             feats.append(v)
     return outs
+
+
+# --------------------------------------------------------------------------
+# end2end export-wrapper semantics (decode + NMS baked into the graph)
+#
+# The reference never runs decode or NMS in python: it consumes an *exported
+# end2end graph* whose output is already [1, N, 5+nc] final detections —
+# cx, cy, w, h, conf, class_scores… in input pixels, NMS applied inside the
+# graph, only confidence thresholding left to the caller (SURVEY §3.3;
+# reference simple_detector.py:479-504 reads boxes[:, :5] and thresholds
+# column 4). `end2end_torch` is an independent transcription of that wrapper
+# — upstream (I)Detect / v8 DFL decode in torch plus a plain sequential
+# greedy-NMS loop in numpy — sharing NO code with ops/decode.py or
+# ops/nms.py (which use lax scan / Jacobi-fixpoint formulations). The anchor
+# priors and strides are re-vendored here as data for the same reason the
+# layer tables are.
+
+V7E_ANCHORS = {
+    # WongKinYiu/yolov7 cfg/deploy yamls, `anchors:` blocks
+    "yolov7_tiny": (((10, 13), (16, 30), (33, 23)),
+                    ((30, 61), (62, 45), (59, 119)),
+                    ((116, 90), (156, 198), (373, 326))),
+    "yolov7_base": (((12, 16), (19, 36), (40, 28)),
+                    ((36, 75), (76, 55), (72, 146)),
+                    ((142, 110), (192, 243), (459, 401))),
+}
+E2E_STRIDES = (8, 16, 32)
+
+
+def _e2e_decode_torch(outs: Sequence[np.ndarray], *, nc: int, family: str):
+    """Raw per-level maps (NCHW, from run_spec_torch) → per-image flat
+    (boxes [A,4] cxcywh px, scores [A,nc]) — upstream inference decode."""
+    import torch
+    import torch.nn.functional as F
+
+    boxes_l, scores_l = [], []
+    with torch.no_grad():
+        if family.startswith("yolov7"):
+            for o, anc, s in zip(outs, V7E_ANCHORS[family], E2E_STRIDES):
+                b, c, h, w = o.shape
+                # upstream Detect: view(bs, na, no, ny, nx) → permute to
+                # (bs, na, ny, nx, no); anchors group the channel dim
+                y = torch.sigmoid(torch.from_numpy(o).reshape(
+                    b, 3, 5 + nc, h, w).permute(0, 3, 4, 1, 2))
+                gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                        indexing="ij")
+                grid = torch.stack([gx, gy], -1).float()[None, :, :, None, :]
+                a = torch.tensor(anc, dtype=torch.float32)[
+                    None, None, None, :, :]
+                xy = (y[..., 0:2] * 2.0 - 0.5 + grid) * s
+                wh = (y[..., 2:4] * 2.0) ** 2 * a
+                if nc == 1:
+                    # conf is objectness alone — the deepness ITCVD blob is
+                    # nc=1 and the reference thresholds column 4 directly
+                    sc = y[..., 4:5]
+                else:
+                    sc = y[..., 4:5] * y[..., 5:]
+                boxes_l.append(torch.cat([xy, wh], -1).reshape(b, -1, 4))
+                scores_l.append(sc.reshape(b, -1, nc))
+        else:                                        # yolov8 DFL head
+            rm = V8_REG_MAX
+            for o, s in zip(outs, E2E_STRIDES):
+                b, c, h, w = o.shape
+                t = torch.from_numpy(o).permute(0, 2, 3, 1)    # NHWC
+                dist = F.softmax(t[..., :4 * rm].reshape(b, h, w, 4, rm),
+                                 dim=-1) @ torch.arange(rm,
+                                                        dtype=torch.float32)
+                gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w),
+                                        indexing="ij")
+                cx = gx.float()[None] + 0.5
+                cy = gy.float()[None] + 0.5
+                x1, y1 = cx - dist[..., 0], cy - dist[..., 1]
+                x2, y2 = cx + dist[..., 2], cy + dist[..., 3]
+                bx = torch.stack([(x1 + x2) / 2, (y1 + y2) / 2,
+                                  x2 - x1, y2 - y1], -1) * s
+                boxes_l.append(bx.reshape(b, -1, 4))
+                scores_l.append(torch.sigmoid(
+                    t[..., 4 * rm:]).reshape(b, -1, nc))
+    return (torch.cat(boxes_l, 1).numpy(), torch.cat(scores_l, 1).numpy())
+
+
+def _greedy_nms_numpy(boxes: np.ndarray, scores: np.ndarray, cls: np.ndarray,
+                      *, iou_threshold: float, max_det: int,
+                      class_aware: bool) -> List[int]:
+    """Plain sequential greedy NMS (the textbook loop): score-descending,
+    index-ascending tie rule — the semantics every exported-NMS op family
+    implements. boxes [K,4] cxcywh."""
+    x1 = boxes[:, 0] - boxes[:, 2] / 2
+    y1 = boxes[:, 1] - boxes[:, 3] / 2
+    x2 = boxes[:, 0] + boxes[:, 2] / 2
+    y2 = boxes[:, 1] + boxes[:, 3] / 2
+    area = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores, kind="stable")
+    keep: List[int] = []
+    while order.size and len(keep) < max_det:
+        i = int(order[0])
+        keep.append(i)
+        rest = order[1:]
+        ix = np.maximum(0.0, np.minimum(x2[i], x2[rest])
+                        - np.maximum(x1[i], x1[rest]))
+        iy = np.maximum(0.0, np.minimum(y2[i], y2[rest])
+                        - np.maximum(y1[i], y1[rest]))
+        inter = ix * iy
+        iou = inter / np.maximum(area[i] + area[rest] - inter, 1e-9)
+        drop = iou > iou_threshold
+        if class_aware:
+            drop &= cls[rest] == cls[i]
+        order = rest[~drop]
+    return keep
+
+
+def end2end_torch(outs: Sequence[np.ndarray], *, nc: int, family: str,
+                  conf_threshold: float, iou_threshold: float,
+                  max_det: int) -> List[np.ndarray]:
+    """Full exported-graph semantics: raw head maps → final detections.
+
+    Returns, per image, an array of rows [cx, cy, w, h, conf, cls] sorted
+    by confidence descending — the [1, N, 5+nc]-style output the reference
+    consumes (simple_detector.py:479-504), after the graph's baked-in NMS.
+    """
+    boxes, scores = _e2e_decode_torch(outs, nc=nc, family=family)
+    results = []
+    for b in range(boxes.shape[0]):
+        best = scores[b].max(axis=-1)
+        cls = scores[b].argmax(axis=-1)
+        m = best >= conf_threshold
+        kb, ks, kc = boxes[b][m], best[m], cls[m]
+        keep = _greedy_nms_numpy(kb, ks, kc, iou_threshold=iou_threshold,
+                                 max_det=max_det, class_aware=nc > 1)
+        rows = np.concatenate([kb[keep], ks[keep][:, None],
+                               kc[keep][:, None].astype(np.float32)], axis=1)
+        results.append(rows)
+    return results

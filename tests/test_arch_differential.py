@@ -190,3 +190,128 @@ def test_v8_spec_channels_match_flax_shapes():
             spec_c = _mdiv8(min(base, maxc) * w)
             ours = _r(512 * r2 if base == 1024 else base, w2)
             assert spec_c == ours, (sc, base, spec_c, ours)
+
+
+# ---------------------------------------------------------------------------
+# end2end export-wrapper differential (VERDICT r3 item 1): the reference
+# consumes an exported graph with decode+NMS baked in (simple_detector.py:
+# 479-504, SURVEY §3.3). upstream_spec.end2end_torch is an independent
+# transcription of that wrapper (torch decode + sequential numpy greedy NMS);
+# here the repo's FULL head→final-detections path (flax forward → ops.decode
+# → ops.nms.batched_nms) must reproduce its detection set on random
+# upstream-named weights — so a dropped-in real blob passes IoU≥0.99 on the
+# first try.
+
+def _boxes_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise IoU of paired cxcywh boxes: [N,4] × [N,4] → [N]."""
+    ax1, ay1 = a[:, 0] - a[:, 2] / 2, a[:, 1] - a[:, 3] / 2
+    ax2, ay2 = a[:, 0] + a[:, 2] / 2, a[:, 1] + a[:, 3] / 2
+    bx1, by1 = b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2
+    bx2, by2 = b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2
+    ix = np.maximum(0.0, np.minimum(ax2, bx2) - np.maximum(ax1, bx1))
+    iy = np.maximum(0.0, np.minimum(ay2, by2) - np.maximum(ay1, by1))
+    inter = ix * iy
+    union = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def _assert_detection_sets_match(dets, ref_rows, *, conf, min_iou=0.99):
+    """dets: ops.nms.Detections for one image; ref_rows: [N,6] from
+    end2end_torch. Detections within 2e-3 of the confidence threshold are
+    excluded from the count check on BOTH sides (the two conv stacks agree
+    to ~2e-4 rel, so scores straddling the threshold may legitimately flip)
+    — every kept pair must still match in box (IoU≥0.99), score and class."""
+    margin = 2e-3
+    v = np.asarray(dets.valid)
+    ours = np.concatenate([
+        np.asarray(dets.boxes)[v],
+        np.asarray(dets.scores)[v][:, None],
+        np.asarray(dets.classes)[v][:, None].astype(np.float32)], axis=1)
+    ours = ours[np.argsort(-ours[:, 4], kind="stable")]
+    ours_solid = ours[ours[:, 4] >= conf + margin]
+    ref_solid = ref_rows[ref_rows[:, 4] >= conf + margin]
+    assert len(ours_solid) == len(ref_solid), (
+        len(ours_solid), len(ref_solid))
+    if len(ref_solid) == 0:
+        return
+    iou = _boxes_iou(ours_solid[:, :4], ref_solid[:, :4])
+    assert float(iou.min()) >= min_iou, float(iou.min())
+    np.testing.assert_allclose(ours_solid[:, 4], ref_solid[:, 4], atol=2e-3)
+    np.testing.assert_array_equal(ours_solid[:, 5], ref_solid[:, 5])
+
+
+@pytest.mark.parametrize("suppression", ["scan", "fixpoint"])
+@pytest.mark.parametrize("variant,spec,detect_idx,mapping_fn,nc", [
+    # nc=1 is the real deepness ITCVD blob's config (conf = objectness alone);
+    # nc=3 exercises the obj·cls composition + class-aware NMS on v7
+    ("tiny", YOLOV7_TINY_SPEC, 77, yolov7_tiny_mapping, 1),
+    ("tiny", YOLOV7_TINY_SPEC, 77, yolov7_tiny_mapping, 3),
+    ("base", YOLOV7_BASE_SPEC, 105, yolov7_base_mapping, 1),
+])
+def test_yolov7_end2end_differential(variant, spec, detect_idx, mapping_fn,
+                                     nc, suppression):
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        end2end_torch)
+    from aerial_image_recognition_tpu.models.yolov7 import (
+        ANCHORS_BASE, ANCHORS_TINY)
+    from aerial_image_recognition_tpu.ops.decode import decode_yolov7
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+
+    conf, iou_t, max_det = 0.3, 0.45, 64
+    sd = make_state_dict(spec, nc=nc, seed=13)
+    x = np.random.default_rng(3).uniform(0, 1, (2, 3, 64, 64)).astype(
+        np.float32)
+
+    raw = run_spec_torch(spec, sd, x, nc=nc, family=f"yolov7_{variant}")
+    ref = end2end_torch(raw, nc=nc, family=f"yolov7_{variant}",
+                        conf_threshold=conf, iou_threshold=iou_t,
+                        max_det=max_det)
+
+    variables = import_torch_state(sd, mapping_fn())
+    variables = yolov7_detect_from_torch(sd, variables,
+                                         detect_idx=detect_idx)
+    model = YOLOv7(num_classes=nc, variant=variant, dtype=jnp.float32)
+    outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+    anchors = ANCHORS_TINY if variant == "tiny" else ANCHORS_BASE
+    boxes, scores = decode_yolov7(outs, anchors, nc)
+    dets = batched_nms(boxes, scores, num_classes=nc, conf_threshold=conf,
+                       iou_threshold=iou_t, max_det=max_det, pre_topk=512,
+                       use_pallas=False, suppression=suppression)
+    for b in range(x.shape[0]):
+        one = type(dets)(*(np.asarray(f)[b] for f in dets))
+        _assert_detection_sets_match(one, ref[b], conf=conf)
+
+
+@pytest.mark.parametrize("suppression", ["scan", "fixpoint"])
+def test_yolov8_end2end_differential(suppression):
+    from aerial_image_recognition_tpu.models.upstream_spec import (
+        end2end_torch)
+    from aerial_image_recognition_tpu.ops.decode import decode_yolov8
+    from aerial_image_recognition_tpu.ops.nms import batched_nms
+
+    nc, conf, iou_t, max_det = 2, 0.3, 0.45, 64
+    spec = yolov8_spec("n")
+    sd = make_state_dict(spec, nc=nc, seed=17)
+    x = np.random.default_rng(4).uniform(0, 1, (2, 3, 64, 64)).astype(
+        np.float32)
+
+    raw = run_spec_torch(spec, sd, x, nc=nc, family="yolov8")
+    ref = end2end_torch(raw, nc=nc, family="yolov8", conf_threshold=conf,
+                        iou_threshold=iou_t, max_det=max_det)
+
+    d = 1 / 3
+    n3, n6 = max(1, round(3 * d)), max(1, round(6 * d))
+    n_c2f = {"c2f1": n3, "c2f2": n6, "c2f3": n6, "c2f4": n3,
+             "fpn4": n3, "fpn3": n3, "pan4": n3, "pan5": n3}
+    variables = import_torch_state(sd, yolov8_mapping(n_c2f))
+    model = YOLOv8(num_classes=nc, scale="n", dtype=jnp.float32)
+    outs = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False)
+    boxes, scores = decode_yolov8(outs, nc)
+    dets = batched_nms(boxes, scores, num_classes=nc, conf_threshold=conf,
+                       iou_threshold=iou_t, max_det=max_det, pre_topk=512,
+                       use_pallas=False, suppression=suppression)
+    for b in range(x.shape[0]):
+        one = type(dets)(*(np.asarray(f)[b] for f in dets))
+        _assert_detection_sets_match(one, ref[b], conf=conf)
