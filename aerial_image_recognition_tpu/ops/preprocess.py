@@ -36,6 +36,35 @@ def _resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
         return np.asarray(m)
 
 
+def _separable_resize_core(x: jnp.ndarray, out_size: int, method: str,
+                           out_dtype, *, scale: Optional[float],
+                           compute_dtype) -> jnp.ndarray:
+    """[B,H,W,C] → [B,out,out,C]: two separable MXU contractions.
+
+    Shared core of the matmul-resize lowerings: exact ``jax.image.resize``
+    weight matrices (``_resize_matrix``), height then width contraction
+    with f32 accumulation, in ``compute_dtype`` on the MXU. ``scale`` (if
+    given) is folded into the height matrix for free — row-normalized
+    weights sum to 1, so e.g. the /255 ingest normalization costs nothing.
+    """
+    b, h, w, c = x.shape
+    ry = _resize_matrix(h, out_size, method)
+    if scale is not None:
+        ry = ry * scale
+    ry = jnp.asarray(ry, compute_dtype)
+    rx = jnp.asarray(_resize_matrix(w, out_size, method), compute_dtype)
+    xb = x.astype(compute_dtype)
+    # height pass: contract H → [out_h, B, W, C]
+    y = jax.lax.dot_general(
+        ry, xb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(compute_dtype)
+    # width pass: contract W → [out_w, out_h, B, C]
+    z = jax.lax.dot_general(
+        rx, y, (((1,), (2,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out_dtype)
+    return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
+
+
 def _matmul_resize(x_u8: jnp.ndarray, out_size: int, method: str,
                    dtype) -> jnp.ndarray:
     """uint8 [B,H,W,C] → normalized [B,out,out,C] via two MXU contractions.
@@ -47,44 +76,27 @@ def _matmul_resize(x_u8: jnp.ndarray, out_size: int, method: str,
     bf16's 8-bit mantissa), both contractions run at the bf16 MXU rate
     with f32 accumulation, and /255 is folded into the height matrix.
     """
-    b, h, w, c = x_u8.shape
-    ry = jnp.asarray(_resize_matrix(h, out_size, method) / 255.0,
-                     jnp.bfloat16)
-    rx = jnp.asarray(_resize_matrix(w, out_size, method), jnp.bfloat16)
-    xb = x_u8.astype(jnp.bfloat16)
-    # height pass: contract H → [out_h, B, W, C]
-    y = jax.lax.dot_general(
-        ry, xb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    # width pass: contract W → [out_w, out_h, B, C]
-    z = jax.lax.dot_general(
-        rx, y, (((1,), (2,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dtype)
-    return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
+    return _separable_resize_core(x_u8, out_size, method, dtype,
+                                  scale=1.0 / 255.0,
+                                  compute_dtype=jnp.bfloat16)
 
 
 def matmul_resize_float(x: jnp.ndarray, out_size: int,
                         method: str = "bilinear") -> jnp.ndarray:
-    """float [B,H,W,C] → [B,out,out,C] via two bf16 MXU contractions.
+    """float [B,H,W,C] → [B,out,out,C] via two separable MXU contractions.
 
     The already-normalized-input sibling of ``_matmul_resize`` (no /255
-    fold): same exact ``jax.image.resize`` weight matrices, both separable
-    contractions on the MXU in bf16 with f32 accumulation, result cast
+    fold): same exact ``jax.image.resize`` weight matrices, result cast
     back to ``x.dtype``. Used by the multiscale inference mode
     (pipeline/inference.py), where the tensors being rescaled are the
-    preprocessed bf16 tiles rather than uint8 ingest batches.
+    preprocessed tiles rather than uint8 ingest batches. bf16 inputs run
+    at the bf16 MXU rate; f32 inputs keep their full precision and run
+    the contractions in f32 (a pipeline explicitly configured with
+    dtype=float32 must not silently get bf16-precision rescales).
     """
-    b, h, w, c = x.shape
-    ry = jnp.asarray(_resize_matrix(h, out_size, method), jnp.bfloat16)
-    rx = jnp.asarray(_resize_matrix(w, out_size, method), jnp.bfloat16)
-    xb = x.astype(jnp.bfloat16)
-    y = jax.lax.dot_general(
-        ry, xb, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    z = jax.lax.dot_general(
-        rx, y, (((1,), (2,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
+    compute = jnp.float32 if x.dtype == jnp.float32 else jnp.bfloat16
+    return _separable_resize_core(x, out_size, method, x.dtype,
+                                  scale=None, compute_dtype=compute)
 
 
 @partial(jax.jit, static_argnames=("out_size", "method", "dtype",

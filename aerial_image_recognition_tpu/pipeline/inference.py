@@ -130,10 +130,15 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                       * wts[:, None, None, None].astype(scores_v.dtype)) \
                 .transpose(1, 0, 2, 3).reshape(b, v * a, -1)
         elif cfg.extra.get("multiscale"):
-            # multiscale inference (archived-generation parity:
-            # x_arch/03_analyze_wms.ipynb cell 8 used scales
-            # [0.85, 1.0, 1.15]): forward at each scale, union the decoded
-            # boxes (rescaled to the base frame) before one NMS
+            # multiscale inference — same scale set as the archived
+            # generation (x_arch/03_analyze_wms.ipynb cell 8: [0.85, 1.0,
+            # 1.15]) but a pixel-rescale APPROXIMATION of its bbox-rescale:
+            # the notebook refetched a scaled ground bbox at a fixed 640 px
+            # (scale 0.85 makes objects LARGER) and deduped by 2 m UTM
+            # distance; here each scale resizes the same tile's pixels
+            # (0.85 → 544 px makes objects smaller) and the union is merged
+            # by one NMS. Forward at each scale, union the decoded boxes
+            # (rescaled to the base frame) before NMS.
             scales = tuple(cfg.extra["multiscale"])
             use_mm = bool(cfg.extra.get("resize_matmul", True))
             boxes_l, scores_l = [], []

@@ -246,11 +246,13 @@ def bench_mode(mode: str):
                "matmul_speedup_pct": round(
                    100.0 * (v_new / max(v_old, 1e-9) - 1), 2)}
     elif mode == "multiscale":
-        # the archived-generation multiscale mode (x_arch/03_analyze_wms
-        # cell 8 scales [0.85, 1.0, 1.15]) — the last deployed-mode knob
-        # without a recorded number. Interleaved A/B of its device rescale
-        # lowering: bf16 MXU separable contractions
-        # (ops/preprocess.matmul_resize_float) vs jax.image.resize.
+        # the multiscale mode — same scale set as the archived generation
+        # (x_arch/03_analyze_wms cell 8: [0.85, 1.0, 1.15]); a pixel-rescale
+        # approximation of the notebook's bbox-rescale (which refetched a
+        # scaled ground bbox at fixed 640 px — see pipeline/inference.py).
+        # Interleaved A/B of its device rescale lowering: bf16 MXU separable
+        # contractions (ops/preprocess.matmul_resize_float) vs
+        # jax.image.resize.
         cfg_new, cfg_old = DetectorConfig(), DetectorConfig()
         for c in (cfg_new, cfg_old):
             c.extra["multiscale"] = [0.85, 1.0, 1.15]

@@ -155,3 +155,7 @@ def test_matmul_resize_float_matches_image_resize(rng):
         db = np.abs(np.asarray(ref) -
                     np.asarray(got_b, dtype=np.float32))
         assert db.max() <= 0.020, (dst, db.max())
+        # f32 inputs must keep full f32 precision (contractions run in
+        # f32, not bf16 — a dtype=float32 pipeline gets exact rescales):
+        # this tolerance is ~300× tighter than the bf16 rounding step
+        assert d.max() <= 4e-5, (dst, d.max())
