@@ -130,6 +130,25 @@ def host_s2d2(px: np.ndarray) -> np.ndarray:
     return out if batched else out[0]
 
 
+def host_s2d2_inverse(xq: np.ndarray) -> np.ndarray:
+    """Inverse of host_s2d2: [B,H/4,W/4,16C] (or unbatched) → [B,H,W,C].
+
+    Host-side only (the int8 self-calibration path needs plain images back
+    from an ingest plane that assembles batches in the quad layout)."""
+    batched = xq.ndim == 4
+    if not batched:
+        xq = xq[None]
+    b, hq, wq, cc = xq.shape
+    c = cc // 16
+    view = xq.reshape(b, hq, wq, 2, 2, 2, 2, c)
+    px = np.empty((b, hq * 4, wq * 4, c), xq.dtype)
+    for e in range(2):
+        for dy in range(2):
+            px[:, 2 * e + dy::4] = view[:, :, :, e, dy].reshape(
+                b, hq, wq * 4, c)
+    return px if batched else px[0]
+
+
 def host_s2d2_into(px: np.ndarray, out: np.ndarray) -> None:
     """In-place form of host_s2d2: write the quad-layout relayout of
     [H,W,C] `px` straight into the preallocated [H/4,W/4,16C] `out` (a

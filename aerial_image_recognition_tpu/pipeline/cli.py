@@ -56,10 +56,13 @@ def _add_common(p: argparse.ArgumentParser):
                    const=True, type=int, default=None, metavar="N",
                    help="shard the device batch over all (or N) chips")
     p.add_argument("--quantize", choices=["int8"], default=None,
-                   help="int8-PTQ the detector trunk (models/int8.py; "
-                        "needs --quantize-calib)")
+                   help="int8-PTQ the detector trunk (models/int8.py). "
+                        "Without --quantize-calib it self-calibrates on "
+                        "the scan's own first batches, parity-gated with "
+                        "automatic bf16 fallback")
     p.add_argument("--quantize-calib", dest="quantize_calib", default=None,
-                   help="calibration JSON from the `calibrate` verb")
+                   help="optional calibration JSON from the `calibrate` "
+                        "verb (skips self-calibration)")
 
 
 def _overrides(args) -> Dict:

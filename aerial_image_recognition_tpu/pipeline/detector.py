@@ -178,10 +178,26 @@ class CarDetector:
                           f"with {len(state.detections)} detections")
 
         fetcher = self._make_fetcher(center_lat=(bounds[1] + bounds[3]) / 2)
+        if c.extra.get("validate_capabilities", True) \
+                and hasattr(fetcher, "validate"):
+            # startup service negotiation (reference wms_handler.py:83-90
+            # opened an owslib connection before any GetMap): a typo'd
+            # layer/SRS/format fails HERE, not per-tile for the whole scan
+            with self.timers.phase("setup"):
+                caps = fetcher.validate()
+            if caps is not None:
+                self.events.emit("capabilities_ok",
+                                 layers=len(caps.get("layers", ())))
+        # a non-default model_input_size overrides the network input edge
+        # (fully-convolutional models; reduced-resolution scans and
+        # fixture-scale tests) — the 640 default defers to the model spec
+        ms = c.model_input_size[0]
         step = self._detect_step or build_detect_step(
             self._step_config(), batch=c.device_batch,
             src_size=self._src_size(fetcher, bounds),
+            model_size=ms if ms != 640 else None,
             mesh=self._make_mesh())
+        self.last_step = step             # observability (int8 state, tests)
 
         monitor = DeviceMonitor(interval=c.monitor_interval,
                                 event_log=self.events, print_line=False)
@@ -195,6 +211,15 @@ class CarDetector:
         prefetch: Optional[ThreadedPrefetcher] = None
         ingest_stats: Dict = {}
 
+        # tile/batch progress display (reference detector.py:188-193 tqdm;
+        # the inner fetch counter is its :128-133 bar). extra['progress']:
+        # None → auto (tty), True/False → force
+        from aerial_image_recognition_tpu.runtime.observability import (
+            ProgressBar, _FetchProgress)
+        pbar = ProgressBar(len(tiles), desc="tiles", initial=start_index,
+                           enabled=c.extra.get("progress"))
+        self._fetch_progress = _FetchProgress(pbar)
+
         def on_result(pbatch, pout):
             nonlocal processed, since_ckpt
             recs, covs = self._collect(pbatch, pout, step)
@@ -202,6 +227,8 @@ class CarDetector:
             done = pbatch.n_valid + len(pbatch.failed_indices)
             processed += done
             since_ckpt += done
+            pbar.set_postfix(det=len(results.detections))
+            pbar.update(done)
             if since_ckpt >= c.checkpoint_interval:
                 self._checkpoint(ckpt, results, processed,
                                  len(tiles), fingerprint, tiles=tiles)
@@ -220,6 +247,7 @@ class CarDetector:
         except BaseException as e:        # checkpoint on ANY failure
             exc = e
         finally:
+            pbar.close()
             signal.signal(signal.SIGINT, prev_sig)
             monitor.stop()
             # stop the producer BEFORE tearing down the fetcher it reads
@@ -325,10 +353,12 @@ class CarDetector:
                 idxs = list(range(i0, min(i0 + chunk, len(tiles))))
                 bboxes = [tuple(tiles[i]) for i in idxs]
                 t0 = time.perf_counter()
+                prog = getattr(self, "_fetch_progress", None)
                 if isinstance(fetcher, XYZFetcher):
-                    imgs = fetcher.fetch_batch(bboxes, window_px=src)
+                    imgs = fetcher.fetch_batch(bboxes, window_px=src,
+                                               progress=prog)
                 else:
-                    imgs = fetcher.fetch_batch(bboxes)
+                    imgs = fetcher.fetch_batch(bboxes, progress=prog)
                 self.timers.add("tile_fetching", time.perf_counter() - t0)
                 yield from zip(idxs, imgs)
 

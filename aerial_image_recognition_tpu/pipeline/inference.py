@@ -220,18 +220,39 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         params_path=cfg.params_path)
     if (cfg.extra.get("quantize") == "int8"
             and bundle.__class__.__name__ != "Int8Bundle"):
-        # int8 trunk PTQ (models/int8.py) — needs a saved calibration
-        # (CLI `calibrate` / models.int8.save_absmax); callers may instead
-        # pass a pre-built Int8Bundle via bundle=
+        # int8 trunk PTQ (models/int8.py) — with a saved calibration
+        # (CLI `calibrate` / models.int8.save_absmax) quantize up front;
+        # WITHOUT one, self-calibrate on the scan's own first batches
+        # (exactly as segment_geotiff does on its raster windows), guarded
+        # by a first-batch bf16-vs-int8 parity check with automatic
+        # bf16 fallback. Callers may instead pass a pre-built Int8Bundle
+        # via bundle=.
         from aerial_image_recognition_tpu.models.int8 import (
             load_absmax, quantize_bundle)
         calib = cfg.extra.get("quantize_calib")
-        if not calib:
-            raise ValueError(
-                "extra.quantize='int8' requires extra.quantize_calib "
-                "(a calibration JSON from the `calibrate` CLI verb or "
-                "models.int8.save_absmax)")
-        bundle = quantize_bundle(bundle, [], absmax=load_absmax(calib))
+        if calib:
+            bundle = quantize_bundle(bundle, [], absmax=load_absmax(calib))
+        else:
+            kwargs = dict(batch=batch, src_size=src_size,
+                          crop_size=crop_size, model_size=model_size,
+                          donate=donate, mesh=mesh, mesh_axis=mesh_axis)
+            base = _compile_detect_step(bundle, cfg, **kwargs)
+            return SelfQuantizingStep(base, cfg, kwargs)
+    return _compile_detect_step(bundle, cfg, batch=batch, src_size=src_size,
+                                crop_size=crop_size, model_size=model_size,
+                                donate=donate, mesh=mesh,
+                                mesh_axis=mesh_axis)
+
+
+def _compile_detect_step(bundle: ModelBundle, cfg: DetectorConfig, *,
+                         batch: Optional[int] = None,
+                         src_size: Optional[int] = None,
+                         crop_size: Optional[int] = None,
+                         model_size: Optional[int] = None,
+                         donate: bool = False,
+                         mesh=None, mesh_axis: str = "data") -> DetectStep:
+    """Compile a DetectStep for an already-resolved bundle (the shared tail
+    of build_detect_step and the int8 self-calibration rebuild)."""
     quad = use_quad_stem(bundle, cfg, src_size=src_size,
                          crop_size=crop_size, model_size=model_size)
     detect = make_detect_fn(bundle, cfg, src_size=src_size,
@@ -274,6 +295,182 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
                       input_layout="s2d2" if quad else "hwc")
     step.model_size = model_size or bundle.spec.input_size
     return step
+
+
+def detection_sets_agree(out_a, out_b, *, min_match_frac: float = 0.9,
+                         iou_threshold: float = 0.5,
+                         max_mean_score_delta: float = 0.05):
+    """Compare two detect-step outputs (Detections, lon, lat) for practical
+    equivalence: per image, greedy same-class IoU≥0.5 matching; pass iff
+    matched ≥ min_match_frac of the larger set AND the mean |Δscore| over
+    matches stays small. Returns (ok, stats_dict) — the int8 turnkey
+    parity gate (and reusable for any A/B of two step builds)."""
+    import numpy as np
+    det_a, det_b = out_a[0], out_b[0]
+    va = np.asarray(det_a.valid)
+    vb = np.asarray(det_b.valid)
+    ba, bb = np.asarray(det_a.boxes), np.asarray(det_b.boxes)
+    sa, sb = np.asarray(det_a.scores), np.asarray(det_b.scores)
+    ca, cb = np.asarray(det_a.classes), np.asarray(det_b.classes)
+    total_a = int(va.sum())
+    total_b = int(vb.sum())
+    matched = 0
+    deltas = []
+    for i in range(va.shape[0]):
+        ia, ib = np.where(va[i])[0], np.where(vb[i])[0]
+        if not len(ia) or not len(ib):
+            continue
+        A, B = ba[i][ia], bb[i][ib]
+        ax1, ay1 = A[:, 0] - A[:, 2] / 2, A[:, 1] - A[:, 3] / 2
+        ax2, ay2 = A[:, 0] + A[:, 2] / 2, A[:, 1] + A[:, 3] / 2
+        bx1, by1 = B[:, 0] - B[:, 2] / 2, B[:, 1] - B[:, 3] / 2
+        bx2, by2 = B[:, 0] + B[:, 2] / 2, B[:, 1] + B[:, 3] / 2
+        ix = np.maximum(0.0, np.minimum(ax2[:, None], bx2[None, :])
+                        - np.maximum(ax1[:, None], bx1[None, :]))
+        iy = np.maximum(0.0, np.minimum(ay2[:, None], by2[None, :])
+                        - np.maximum(ay1[:, None], by1[None, :]))
+        inter = ix * iy
+        union = ((ax2 - ax1) * (ay2 - ay1))[:, None] \
+            + ((bx2 - bx1) * (by2 - by1))[None, :] - inter
+        iou = inter / np.maximum(union, 1e-9)
+        iou[ca[i][ia][:, None] != cb[i][ib][None, :]] = 0.0
+        used = np.zeros(len(ib), bool)
+        for j in np.argsort(-sa[i][ia], kind="stable"):
+            k = int(np.argmax(np.where(used, -1.0, iou[j])))
+            if iou[j, k] >= iou_threshold and not used[k]:
+                used[k] = True
+                matched += 1
+                deltas.append(abs(float(sa[i][ia[j]]) -
+                                  float(sb[i][ib[k]])))
+    bigger = max(total_a, total_b)
+    mean_delta = float(np.mean(deltas)) if deltas else 0.0
+    ok = (matched >= min_match_frac * bigger if bigger else True) \
+        and mean_delta <= max_mean_score_delta
+    return ok, {"total_a": total_a, "total_b": total_b,
+                "matched": matched, "mean_score_delta": round(mean_delta, 4)}
+
+
+class SelfQuantizingStep:
+    """Turnkey int8: a DetectStep shim that calibrates itself on the scan's
+    own first batches, then hot-swaps to the int8-quantized program behind
+    a parity gate.
+
+    The reference's int8 story is an archived TensorRT deployment config
+    (simple_detector_arch.py:40-78) requiring an offline engine build; the
+    segmentation path here already self-calibrates on its raster
+    (pipeline/rasters.py) — this brings the same UX to detect/serve:
+    ``--quantize int8`` with no ``calibrate`` step. The first
+    ``quantize_calib_batches`` (default 2) batches run in bf16 (their
+    results are final — nothing is reprocessed); their images calibrate the
+    activation absmax table; the int8 build is then validated against the
+    bf16 output of the last collected batch (detection_sets_agree) and, on
+    any mismatch OR quantization error, the scan silently continues in bf16
+    (state 'bf16-fallback', reason recorded). States: 'calibrating' →
+    'int8' | 'bf16-fallback'; observable via .quantize_state/.parity.
+    """
+
+    def __init__(self, base: DetectStep, cfg: DetectorConfig, kwargs: dict):
+        self._base = base
+        self._active = base
+        self._cfg = cfg
+        self._kwargs = kwargs
+        self._target = max(1, int(cfg.extra.get("quantize_calib_batches",
+                                                2)))
+        self._collected = []      # host uint8 [B,S,S,3] copies
+        self._last = None         # (images-as-given, bounds, bf16 out)
+        self.quantize_state = "calibrating"
+        self.parity = None
+        self.fallback_reason = None
+
+    @property
+    def active_step(self) -> DetectStep:
+        """The DetectStep currently serving calls (bf16 until the swap)."""
+        return self._active
+
+    @property
+    def base_step(self) -> DetectStep:
+        """The bf16 step (kept after the swap — bench A/Bs against it)."""
+        return self._base
+
+    # -- DetectStep surface (run_pipeline/CarDetector/serve read these) --
+    @property
+    def bundle(self):
+        return self._active.bundle
+
+    @property
+    def batch(self):
+        return self._active.batch
+
+    @property
+    def input_size(self):
+        return self._active.input_size
+
+    @property
+    def model_size(self):
+        return self._active.model_size
+
+    @property
+    def input_shardings(self):
+        return self._active.input_shardings
+
+    @property
+    def input_layout(self):
+        return self._active.input_layout
+
+    def pack_images(self, images_u8):
+        return self._active.pack_images(images_u8)
+
+    def __call__(self, images, bounds):
+        if self.quantize_state != "calibrating":
+            return self._active(images, bounds)
+        import numpy as np
+        host = np.asarray(images)     # before the call: donation-safe
+        if self._base.input_layout == "s2d2" and host.shape[-1] != 3:
+            from aerial_image_recognition_tpu.ops.quadstem import (
+                host_s2d2_inverse)
+            host = host_s2d2_inverse(host)
+        out = self._base(images, bounds)
+        self._collected.append(host)
+        self._last = (images, bounds, out)
+        if len(self._collected) >= self._target:
+            self._quantize()
+        return out
+
+    def _quantize(self):
+        from aerial_image_recognition_tpu.models.int8 import quantize_bundle
+        try:
+            # chunk to 8-row calibration batches: calibrate_absmax captures
+            # EVERY intermediate of its forward, so a full 128×640² device
+            # batch OOMs the chip (absmax is a running max — chunking is
+            # exact; same discipline as pipeline/rasters.py and cli.py)
+            calib = [c[i:i + 8] for c in self._collected
+                     for i in range(0, len(c), 8)]
+            qb = quantize_bundle(self._base.bundle, calib,
+                                 model_size=self._base.model_size)
+            qstep = _compile_detect_step(qb, self._cfg, **self._kwargs)
+            if qstep.input_layout != self._base.input_layout:
+                raise RuntimeError(
+                    f"int8 step layout {qstep.input_layout!r} != bf16 "
+                    f"{self._base.input_layout!r} — ingest batches would "
+                    "be misshaped")
+            images, bounds, bf16_out = self._last
+            qout = qstep(images, bounds)
+            ok, stats = detection_sets_agree(bf16_out, qout)
+            self.parity = stats
+            if not ok:
+                raise RuntimeError(
+                    f"first-batch bf16-vs-int8 parity check failed: {stats}")
+            self._active = qstep
+            self.quantize_state = "int8"
+            print(f"int8 self-calibration: switched to int8 after "
+                  f"{len(self._collected)} batches (parity {stats})")
+        except Exception as e:          # noqa: BLE001 — any failure ⇒ bf16
+            self.quantize_state = "bf16-fallback"
+            self.fallback_reason = repr(e)
+            print(f"int8 self-calibration failed — continuing in bf16: {e}")
+        finally:
+            self._collected = []
+            self._last = None
 
 
 def make_segment_fn(bundle: ModelBundle, cfg: DetectorConfig):

@@ -187,21 +187,32 @@ def test_segment_overlap_averages_out_window_borders(tmp_path):
     assert float(blended[128, 64]) == 1.0
 
 
-def test_detect_geotiff_quantize_reaches_build(tmp_path):
+def test_detect_geotiff_quantize_reaches_build(tmp_path, monkeypatch):
     """The geotiff verb's --quantize flags ride cfg.extra into
-    build_detect_step: int8 without a calibration must raise its
-    ValueError (proving the wiring), not silently run bf16."""
+    build_detect_step: int8 without a calibration now builds the TURNKEY
+    self-calibrating step (round-4 behavior; previously it raised)."""
     import numpy as np
-    import pytest
     from aerial_image_recognition_tpu.gio.geotiff import write_geotiff
+    from aerial_image_recognition_tpu.pipeline import inference
     from aerial_image_recognition_tpu.pipeline.rasters import detect_geotiff
 
     p = str(tmp_path / "in.tif")
     write_geotiff(p, np.zeros((64, 64, 3), np.uint8),
                   (21.0, 1e-5, 0.0, 52.2, 0.0, -1e-5), 4326)
-    with pytest.raises(ValueError, match="quantize_calib"):
-        detect_geotiff(p, window=64, stride=64, model="yolov7_itcvd",
-                       quantize="int8")
+    seen = {}
+    real_build = inference.build_detect_step
+
+    def spy(cfg, **kw):
+        step = real_build(cfg, **kw)
+        seen["quantize"] = cfg.extra.get("quantize")
+        seen["step_type"] = type(step).__name__
+        return step
+
+    monkeypatch.setattr(inference, "build_detect_step", spy)
+    detect_geotiff(p, window=64, stride=64, model="yolov7_itcvd",
+                   quantize="int8")
+    assert seen == {"quantize": "int8",
+                    "step_type": "SelfQuantizingStep"}
 
 
 # --- compressed-input compatibility (GDAL-written rasters in the wild are
@@ -304,6 +315,7 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+@pytest.mark.slow
 def test_geotiff_tiled_lzw_predictor(tmp_path, rng):
     """Hand-assembled tiled TIFF (libtiff via PIL only writes strips):
     LZW + predictor 2, 256-px tiles with edge-clamped coverage. PIL reads

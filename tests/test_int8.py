@@ -408,6 +408,7 @@ def test_int8_in_fused_step(bundles):
             assert np.all(np.abs(fq[j] - r) < 2e-5)
 
 
+@pytest.mark.slow
 def test_int8_composes_with_tta(bundles):
     """TTA (brightness/gamma/CLAHE variation union — the reference's
     gpu_handler.py:94-140 mode) over the int8 trunk: Int8Bundle.forward
@@ -456,6 +457,7 @@ XUNET_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
 
 @pytest.mark.skipif(not os.path.exists(XUNET_FIXTURE),
                     reason="trained xunet fixture not present")
+@pytest.mark.slow
 def test_int8_xunet_mask_parity():
     """int8-PTQ of the XUnet segmentation trunk (third transcription of the
     scheme: relu epilogues, skip-concat scale folding, dec3 scale folded
@@ -497,6 +499,7 @@ def test_int8_xunet_mask_parity():
 
 @pytest.mark.skipif(not os.path.exists(XUNET_FIXTURE),
                     reason="trained xunet fixture not present")
+@pytest.mark.slow
 def test_segment_geotiff_int8_self_calibrates(tmp_path):
     """segment_geotiff(quantize='int8') calibrates on the raster's own
     windows and produces the same stitched mask as the bf16 path."""
@@ -622,6 +625,7 @@ def test_int8_yolov7_base_matches_f32():
     assert float(np.corrcoef(sf.ravel(), sq.ravel())[0, 1]) > 0.999
 
 
+@pytest.mark.slow
 def test_int8_yolov8_mid_depth_matches_f32():
     """int8 v8 at scale 'm' (depth 2/4/6 C2f stacks, width 0.75 — the
     channel/depth resolution rules the trained-v8n parity test can't
@@ -654,3 +658,140 @@ def test_int8_yolov8_mid_depth_matches_f32():
     conf = np.repeat((sf.max(-1) > 0.3)[..., None], 4, -1)   # nc=2
     if conf.any():
         assert float(np.abs(bf - bq)[conf].max()) < 2.0
+
+
+@pytest.mark.slow
+def test_int8_self_calibration_turnkey(tmp_path, bundles):
+    """VERDICT r3 item 2 — turnkey int8: extra.quantize='int8' with NO
+    calibration self-calibrates on the scan's own first batches, passes the
+    first-batch parity gate and hot-swaps to the int8 program; subsequent
+    detections match the bf16 set (detection_sets_agree)."""
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        SelfQuantizingStep, build_detect_step, detection_sets_agree)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+
+    cfg = DetectorConfig(confidence_threshold=0.4, params_path=params_path)
+    cfg.extra["quantize"] = "int8"      # no quantize_calib → self-calibrate
+    cfg.extra["quantize_calib_batches"] = 2
+    step = build_detect_step(cfg, batch=4, model_size=SIZE)
+    assert isinstance(step, SelfQuantizingStep)
+    assert step.quantize_state == "calibrating"
+
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (4, 1))
+    out0 = step(jnp.asarray(tiles[0:4]), bounds)
+    assert step.quantize_state == "calibrating"     # 1 of 2 batches
+    step(jnp.asarray(tiles[4:8]), bounds)
+    assert step.quantize_state == "int8", step.fallback_reason
+    assert step.parity is not None and step.parity["matched"] >= 1
+    assert step.bundle.__class__.__name__ == "Int8Bundle"
+
+    # post-swap batches run the int8 program and still match bf16
+    out2 = step(jnp.asarray(tiles[8:12]), bounds)
+    cfg_b = DetectorConfig(confidence_threshold=0.4, params_path=params_path)
+    ref = build_detect_step(cfg_b, batch=4, model_size=SIZE)(
+        jnp.asarray(tiles[8:12]), bounds)
+    ok, stats = detection_sets_agree(ref, out2)
+    assert ok, stats
+    # and the calibration batches' own (bf16) results were already final
+    assert int(np.asarray(out0[0].valid).sum()) >= 4
+
+
+def test_int8_self_calibration_fallback(tmp_path, bundles, monkeypatch):
+    """Parity-gate failure (simulated) falls back to bf16 silently: the
+    scan continues, state records the reason, results stay bf16-exact."""
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline import inference
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+
+    cfg = DetectorConfig(confidence_threshold=0.4, params_path=params_path)
+    cfg.extra["quantize"] = "int8"
+    cfg.extra["quantize_calib_batches"] = 1
+    step = inference.build_detect_step(cfg, batch=4, model_size=SIZE)
+    monkeypatch.setattr(inference, "detection_sets_agree",
+                        lambda a, b, **kw: (False, {"forced": True}))
+    bounds = jnp.tile(jnp.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], jnp.float32), (4, 1))
+    step(jnp.asarray(tiles[0:4]), bounds)
+    assert step.quantize_state == "bf16-fallback"
+    assert "parity" in step.fallback_reason
+    # still serves detections, in bf16
+    out = step(jnp.asarray(tiles[4:8]), bounds)
+    assert step.bundle.__class__.__name__ != "Int8Bundle"
+    assert int(np.asarray(out[0].valid).sum()) >= 4
+
+
+@pytest.mark.slow
+def test_int8_turnkey_full_scan(tmp_path, bundles):
+    """Config-driven turnkey composition: CarDetector builds its own step
+    from {quantize: int8} with NO calibration file, self-calibrates on the
+    scan's first batch, switches to int8 mid-scan, and the final GeoJSON
+    still clears the quality bar (recall@3m ≥ 0.8, precision ≥ 0.7)."""
+    from aerial_image_recognition_tpu.fetch.fake import (
+        FakeTileServer, FakeWorld)
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    from aerial_image_recognition_tpu.gio.geojson import (
+        read_geojson, write_geojson)
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline.detector import CarDetector
+    bundle, qb, tiles = bundles
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+    world = FakeWorld(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+                      n_cars=400, seed=4)
+    m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+    m2lat = 1.0 / 111319.9
+    srv = FakeTileServer(world)
+    srv.start()
+    try:
+        half_lon, half_lat = 95 * m2lon, 65 * m2lat
+        ring = [[21.0 - half_lon, 52.2 - half_lat],
+                [21.0 + half_lon, 52.2 - half_lat],
+                [21.0 + half_lon, 52.2 + half_lat],
+                [21.0 - half_lon, 52.2 + half_lat],
+                [21.0 - half_lon, 52.2 - half_lat]]
+        frame = str(tmp_path / "aoi.geojson")
+        write_geojson({"type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {},
+            "geometry": {"type": "Polygon", "coordinates": [ring]}}]},
+            frame)
+        fetcher = WMSFetcher(srv.base_url + "/wms", layer="fake",
+                             size=(SIZE, SIZE), num_workers=8,
+                             submit_spacing=0.0)
+        det = CarDetector(str(tmp_path), {
+            "frame_path": frame, "tile_size_meters": 48.0,
+            "tile_overlap": 0.25, "confidence_threshold": 0.4,
+            "duplicate_distance": 2.0, "batch_size": 16,
+            "device_batch": 8, "checkpoint_interval": 10**9,
+            "model_input_size": (SIZE, SIZE),
+            "params_path": params_path,
+            "extra": {"quantize": "int8", "quantize_calib_batches": 1},
+        }, fetcher=fetcher)
+        det.detect(force_restart=True)
+        fetcher.close()
+        assert det.last_step.quantize_state == "int8", \
+            det.last_step.fallback_reason
+        doc = read_geojson(os.path.join(str(tmp_path), "output",
+                                        "detections_results.geojson"))
+        found = np.array([f["geometry"]["coordinates"]
+                          for f in doc["features"]], np.float64)
+        assert len(found) > 0
+        cars = world.cars
+        inside = ((np.abs(cars[:, 0] - 21.0) < half_lon - 5 * m2lon)
+                  & (np.abs(cars[:, 1] - 52.2) < half_lat - 5 * m2lat))
+        t_m = np.stack([(cars[inside][:, 0] - 21.0) / m2lon,
+                        (cars[inside][:, 1] - 52.2) / m2lat], 1)
+        f_m = np.stack([(found[:, 0] - 21.0) / m2lon,
+                        (found[:, 1] - 52.2) / m2lat], 1)
+        d = np.sqrt(((t_m[:, None] - f_m[None]) ** 2).sum(-1))
+        assert float((d.min(axis=1) < 3.0).mean()) >= 0.8
+        assert float((d.min(axis=0) < 3.0).mean()) >= 0.7
+    finally:
+        srv.stop()

@@ -166,3 +166,15 @@ def test_use_quad_stem_gating():
     assert not use_quad_stem(b, DetectorConfig(), crop_size=864)
     assert use_quad_stem(b, DetectorConfig(), src_size=96, model_size=96)
     assert not use_quad_stem(b, DetectorConfig(), model_size=90)  # %4
+
+
+def test_host_s2d2_inverse_roundtrip():
+    """host_s2d2_inverse exactly inverts host_s2d2 (the int8
+    self-calibration path recovers plain images from quad-layout ingest)."""
+    import numpy as np
+    from aerial_image_recognition_tpu.ops.quadstem import (
+        host_s2d2, host_s2d2_inverse)
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 255, (3, 96, 96, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(host_s2d2_inverse(host_s2d2(px)), px)
+    np.testing.assert_array_equal(host_s2d2_inverse(host_s2d2(px[0])), px[0])
