@@ -229,6 +229,8 @@ class FakeTileServer:
             return self._jpeg(self.world.render(
                 tuple(bbox), int(q["WIDTH"]), int(q["HEIGHT"])))
         if req == "GetCapabilities":
+            if q.get("SERVICE", "").upper() == "WMS":
+                return self._wms_capabilities()
             return self._capabilities()
         if req == "GetTile":
             return self._wmts_tile(q)
@@ -245,6 +247,31 @@ class FakeTileServer:
     # for EPSG:2180), so clients must axis-swap — same as production.
     _WMTS_TOPLEFT = (100000.0, 850000.0)
     _WMTS_SCALES = {"z0": 3571.428571428571, "z1": 1785.7142857142856}
+
+    def _wms_capabilities(self) -> bytes:
+        """Minimal WMS 1.1.1 capabilities: one layer 'fake', the CRS and
+        formats the fake GetMap route actually serves — lets
+        WMSFetcher.validate() run hermetically."""
+        xml = """<?xml version="1.0" encoding="UTF-8"?>
+<WMT_MS_Capabilities version="1.1.1">
+  <Capability>
+    <Request>
+      <GetMap>
+        <Format>image/jpeg</Format>
+        <Format>image/png</Format>
+      </GetMap>
+    </Request>
+    <Layer>
+      <Title>fake world</Title>
+      <SRS>EPSG:4326 EPSG:3857</SRS>
+      <Layer queryable="0">
+        <Name>fake</Name>
+        <Title>fake imagery</Title>
+      </Layer>
+    </Layer>
+  </Capability>
+</WMT_MS_Capabilities>"""
+        return xml.encode()
 
     def _capabilities(self) -> bytes:
         tms = []

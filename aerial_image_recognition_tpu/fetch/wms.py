@@ -20,6 +20,44 @@ from aerial_image_recognition_tpu.fetch.http import TileHTTP
 from aerial_image_recognition_tpu.fetch.xyz import TileImage
 
 
+def parse_wms_capabilities(xml_bytes: bytes) -> Dict:
+    """Extract {layers, srs, formats} from a WMS capabilities document.
+
+    Namespace-agnostic (matches on local tag names — 1.1.1 documents are
+    unnamespaced, 1.3.0 uses the wms namespace) and inheritance-aware for
+    SRS/CRS: WMS §7.2.4.6.7 says a child layer inherits every CRS of its
+    ancestors, so the set here is the union over the document (sufficient
+    for a does-the-service-speak-it check)."""
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml_bytes)
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    if local(root.tag) not in ("WMT_MS_Capabilities", "WMS_Capabilities"):
+        raise ValueError(f"not a WMS capabilities document: {root.tag}")
+    layers, srs, formats = set(), set(), set()
+    getmap = False
+    for el in root.iter():
+        tag = local(el.tag)
+        if tag == "Layer":
+            name = next((c.text for c in el if local(c.tag) == "Name"
+                         and c.text), None)
+            if name:
+                layers.add(name.strip())
+        elif tag in ("SRS", "CRS") and el.text:
+            # 1.1.1 allows space-separated SRS lists in one element
+            srs.update(s.upper() for s in el.text.split())
+        elif tag == "GetMap":
+            getmap = True
+            for f in el.iter():
+                if local(f.tag) == "Format" and f.text:
+                    formats.add(f.text.strip())
+    if not getmap and not layers:
+        raise ValueError("capabilities document advertises no GetMap/layers")
+    return {"layers": layers, "srs": srs, "formats": formats}
+
+
 class WMSFetcher:
     def __init__(self, url: str, layer: str, *, srs: str = "EPSG:4326",
                  size: Tuple[int, int] = (1280, 1280),
@@ -54,6 +92,48 @@ class WMSFetcher:
             "WIDTH": str(self.size[0]), "HEIGHT": str(self.size[1]),
             "FORMAT": self.image_format,
         }
+
+    def get_capabilities(self) -> Optional[bytes]:
+        """GetCapabilities round-trip (one request, startup-time only)."""
+        return self.http.get(self.url, params={
+            "SERVICE": "WMS", "REQUEST": "GetCapabilities",
+            "VERSION": self.version})
+
+    def validate(self) -> Optional[Dict]:
+        """Startup service negotiation — the owslib connection the reference
+        opens before any GetMap (_script/wms_handler.py:83-90): fetch
+        capabilities and check the configured layer(s), SRS and format are
+        actually advertised, so a typo'd layer fails HERE with the
+        available options listed instead of per-tile for the whole scan.
+
+        Tolerant by design: if the capabilities request itself fails (no
+        endpoint support, transient network, fault injection in tests) we
+        return None and let the scan proceed — only a RETRIEVED document
+        that genuinely lacks the layer/SRS/format raises. Returns the
+        parsed {layers, srs, formats} dict when a document was checked.
+        """
+        body = self.get_capabilities()
+        if not body:
+            return None
+        try:
+            caps = parse_wms_capabilities(body)
+        except Exception:
+            return None                  # not a WMS capabilities document
+        if caps["layers"]:
+            for name in self.layer.split(","):
+                if name and name not in caps["layers"]:
+                    raise ValueError(
+                        f"WMS layer {name!r} not advertised by {self.url} "
+                        f"— available: {sorted(caps['layers'])[:20]}")
+        if caps["srs"] and self.srs.upper() not in caps["srs"]:
+            raise ValueError(
+                f"SRS {self.srs!r} not advertised by {self.url} — "
+                f"available: {sorted(caps['srs'])[:20]}")
+        if caps["formats"] and self.image_format not in caps["formats"]:
+            raise ValueError(
+                f"image format {self.image_format!r} not advertised by "
+                f"{self.url} — available: {sorted(caps['formats'])}")
+        return caps
 
     def get_single_image(self, bbox) -> Optional[TileImage]:
         body = self.http.get(self.url, params=self.getmap_params(bbox))

@@ -169,3 +169,100 @@ class DeviceMonitor:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=2.0)
+
+
+class ProgressBar:
+    """Minimal tqdm-style progress line — the reference's primary user
+    feedback (tqdm at batch and tile level, _script/detector.py:128-133 and
+    :188-193), first-party since tqdm isn't a dependency here.
+
+    Renders `desc:  42%|████      | 420/1000 [rate/s, ETA 0:42, k=v]` to
+    ``stream`` (stderr), redrawing in place at most every ``min_interval``
+    seconds. ``enabled=None`` auto-detects a tty; pass True/False to force
+    (CarDetector wires config.extra['progress']). ``set_postfix`` adds
+    live counters (detections, fetched tiles). Thread-safe for the
+    single-writer-per-counter use the pipeline makes of it.
+    """
+
+    def __init__(self, total: int, desc: str = "", unit: str = "tile",
+                 initial: int = 0, stream=None, enabled: bool = None,
+                 min_interval: float = 0.1, width: int = 24):
+        import sys
+        self.total = max(int(total), 1)
+        self.n = int(initial)
+        self.desc = desc
+        self.unit = unit
+        self.stream = stream if stream is not None else sys.stderr
+        if enabled is None:
+            enabled = bool(getattr(self.stream, "isatty", lambda: False)())
+        self.enabled = enabled
+        self.min_interval = min_interval
+        self.width = width
+        self._postfix = {}
+        self._t0 = time.time()
+        self._last_draw = 0.0
+        self._start_n = int(initial)
+        if self.enabled:
+            self._draw(force=True)
+
+    def update(self, n: int = 1):
+        self.n += n
+        self._draw()
+
+    def set_postfix(self, **kw):
+        self._postfix.update(kw)
+        self._draw()
+
+    def _render(self) -> str:
+        frac = min(self.n / self.total, 1.0)
+        filled = int(frac * self.width)
+        bar = "█" * filled + " " * (self.width - filled)
+        dt = max(time.time() - self._t0, 1e-9)
+        rate = (self.n - self._start_n) / dt
+        if rate > 0 and self.n < self.total:
+            eta_s = int((self.total - self.n) / rate)
+            eta = f"{eta_s // 60}:{eta_s % 60:02d}"
+        else:
+            eta = "-"
+        post = "".join(f", {k}={v}" for k, v in self._postfix.items())
+        head = f"{self.desc}: " if self.desc else ""
+        return (f"{head}{frac * 100:3.0f}%|{bar}| {self.n}/{self.total} "
+                f"[{rate:.1f} {self.unit}/s, ETA {eta}{post}]")
+
+    def _draw(self, force: bool = False):
+        if not self.enabled:
+            return
+        now = time.time()
+        if not force and now - self._last_draw < self.min_interval \
+                and self.n < self.total:
+            return
+        self._last_draw = now
+        try:
+            self.stream.write("\r" + self._render())
+            self.stream.flush()
+        except Exception:
+            self.enabled = False        # broken pipe etc. — go quiet
+
+    def close(self):
+        if self.enabled:
+            self._draw(force=True)
+            try:
+                self.stream.write("\n")
+                self.stream.flush()
+            except Exception:
+                pass
+            self.enabled = False
+
+
+class _FetchProgress:
+    """Adapter given to fetchers' ``progress=`` hook: counts fetched tiles
+    into a ProgressBar postfix (the reference's inner tqdm at
+    _script/detector.py:128-133 tracked fetches the same way)."""
+
+    def __init__(self, bar: ProgressBar):
+        self.bar = bar
+        self.count = 0
+
+    def update(self, n: int = 1):
+        self.count += n
+        self.bar.set_postfix(fetched=self.count)

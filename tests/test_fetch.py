@@ -178,3 +178,90 @@ def test_fake_world_renders_cars_consistently(server):
     img = world.render((lon - 3e-4, lat - 3e-4, lon + 3e-4, lat + 3e-4),
                        256, 256)
     assert img.max() >= 230
+
+
+def test_wms_capabilities_validate_ok(server):
+    """Startup negotiation (reference wms_handler.py:83-90): a correctly
+    configured fetcher validates against the advertised capabilities."""
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    f = WMSFetcher(server.base_url + "/wms", layer="fake",
+                   size=(64, 64), num_workers=2, submit_spacing=0.0)
+    caps = f.validate()
+    f.close()
+    assert caps is not None
+    assert "fake" in caps["layers"]
+    assert "EPSG:4326" in caps["srs"]
+    assert "image/jpeg" in caps["formats"]
+
+
+def test_wms_capabilities_validate_rejects_typos(server):
+    """A malformed layer / SRS / format fails AT STARTUP with the available
+    options listed — not per-tile across the whole scan."""
+    import pytest as _pytest
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    for kw, msg in ((dict(layer="n0pe"), "layer"),
+                    (dict(layer="fake", srs="EPSG:9999"), "SRS"),
+                    (dict(layer="fake", image_format="image/webp"),
+                     "format")):
+        f = WMSFetcher(server.base_url + "/wms", size=(64, 64),
+                       num_workers=2, submit_spacing=0.0, **kw)
+        with _pytest.raises(ValueError, match=msg):
+            f.validate()
+        f.close()
+
+
+def test_wms_capabilities_validate_tolerant_when_unavailable(server):
+    """No capabilities endpoint (or transient failure) must NOT block the
+    scan: validate() returns None and GetMap proceeds as before."""
+    from aerial_image_recognition_tpu.fetch.wms import WMSFetcher
+    f = WMSFetcher(server.base_url + "/nothing", layer="x",
+                   size=(64, 64), num_workers=2, retries=0,
+                   submit_spacing=0.0)
+    assert f.validate() is None
+    f.close()
+
+
+def test_parse_wms_capabilities_130_namespaced():
+    """1.3.0 documents are namespaced and use CRS; the parser is
+    namespace-agnostic and inheritance-unions the CRS sets."""
+    from aerial_image_recognition_tpu.fetch.wms import parse_wms_capabilities
+    xml = b"""<?xml version="1.0"?>
+<WMS_Capabilities xmlns="http://www.opengis.net/wms" version="1.3.0">
+  <Capability>
+    <Request><GetMap><Format>image/png</Format></GetMap></Request>
+    <Layer>
+      <CRS>EPSG:4326</CRS>
+      <Layer><Name>ortho</Name><CRS>EPSG:2180</CRS></Layer>
+    </Layer>
+  </Capability>
+</WMS_Capabilities>"""
+    caps = parse_wms_capabilities(xml)
+    assert caps["layers"] == {"ortho"}
+    assert caps["srs"] == {"EPSG:4326", "EPSG:2180"}
+    assert caps["formats"] == {"image/png"}
+
+
+def test_progress_bar_renders_and_counts():
+    """First-party tqdm-equivalent (reference detector.py:128-133,188-193):
+    rate/ETA line, postfix counters, in-place redraw, final newline."""
+    import io
+    from aerial_image_recognition_tpu.runtime.observability import (
+        ProgressBar, _FetchProgress)
+    buf = io.StringIO()
+    bar = ProgressBar(100, desc="tiles", stream=buf, enabled=True,
+                      min_interval=0.0)
+    fp = _FetchProgress(bar)
+    fp.update(3)
+    bar.update(50)
+    bar.set_postfix(det=7)
+    bar.close()
+    out = buf.getvalue()
+    assert "tiles:" in out and "50/100" in out
+    assert "fetched=3" in out and "det=7" in out
+    assert out.endswith("\n")
+    # disabled bar writes nothing (non-tty default under pytest)
+    buf2 = io.StringIO()
+    bar2 = ProgressBar(10, stream=buf2)
+    bar2.update(5)
+    bar2.close()
+    assert buf2.getvalue() == ""
