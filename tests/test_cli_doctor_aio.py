@@ -77,6 +77,7 @@ def test_cli_override_parsing_extras():
     assert cfg.extra["quantize_calib"] == "scales.json"
 
 
+@pytest.mark.slow
 def test_cli_new_subcommands(tmp_path):
     """train/geotiff/automask subcommands parse; automask runs end-to-end
     through the CLI on a tiny raster."""

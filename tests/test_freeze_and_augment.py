@@ -304,6 +304,7 @@ def test_finetune_imported_weights_with_freeze(rng):
                for k in imported_p if not is_frozen(k))
 
 
+@pytest.mark.slow
 def test_cli_finetune_drill(tmp_path, rng):
     """The complete migration fine-tune drill, all through the CLI: a
     synthetic upstream-named blob → `import-weights` → `train --params

@@ -107,6 +107,7 @@ def test_int8_tiny_golden():
     }, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_int8_xunet_golden():
     from aerial_image_recognition_tpu.models.int8 import quantize_bundle
     from aerial_image_recognition_tpu.models.registry import (

@@ -104,6 +104,7 @@ def test_run_pipeline_keeps_one_batch_in_flight():
         ("dispatch", 12), ("readback", 8), ("readback", 12)]
 
 
+@pytest.mark.slow
 def test_yolov8_loss_finite_and_learns(rng):
     from aerial_image_recognition_tpu.models.yolov8 import YOLOv8
     from aerial_image_recognition_tpu.ops.losses import yolov8_loss

@@ -151,6 +151,7 @@ def _tree_equal(a, b):
                                       np.asarray(y, np.float32))
 
 
+@pytest.mark.slow
 def test_full_export_import_roundtrip_all_families(tmp_path):
     """torch_state_from_variables ∘ variables_from_torch_state == identity
     over the COMPLETE variables tree, detect heads included — the

@@ -17,6 +17,7 @@ from aerial_image_recognition_tpu.runtime.train_ckpt import (
 from aerial_image_recognition_tpu.runtime.observability import Tracer
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path, rng):
     bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
     tx = make_optimizer(lr=1e-3)
@@ -47,6 +48,7 @@ def test_tracer_noop_and_annotation():
     assert float(x.sum()) == 8.0
 
 
+@pytest.mark.slow
 def test_fit_resumes_from_ckpt_dir(tmp_path, rng):
     """fit(ckpt_dir=...) saves per-epoch orbax state and resumes exactly:
     a second fit() call with more epochs continues from the saved epoch."""
