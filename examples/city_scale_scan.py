@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--tile-m", type=float, default=64.0)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--workers", type=int, default=24)
+    ap.add_argument("--params", default=os.path.join(
+        os.path.dirname(__file__), "..", "tests", "fixtures",
+        "yolov7_tiny_fakeworld.npz"),
+        help="trained checkpoint (.npz); the fakeworld fixture's 0.1 m/px "
+             "GSD matches the 640 px / 64 m production geometry")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +91,7 @@ def main():
                          num_workers=args.workers, submit_spacing=0.0)
     det = CarDetector(args.out, {
         "frame_path": frame,
+        "params_path": os.path.abspath(args.params),
         "tile_size_meters": args.tile_m,
         "tile_overlap": overlap,
         "confidence_threshold": 0.5,
