@@ -77,7 +77,8 @@ def enhance_shadows(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip((y - mean) * 1.2 + mean, 0.0, 1.0)
 
 
-def apply_variation(x: jnp.ndarray, name: str) -> jnp.ndarray:
+def apply_variation(x: jnp.ndarray, name: str, *,
+                    clahe_hist_subsample: int = 1) -> jnp.ndarray:
     if name == "original":
         return x
     if name == "shadow":
@@ -91,9 +92,12 @@ def apply_variation(x: jnp.ndarray, name: str) -> jnp.ndarray:
     if kind == "clahe":
         # exact tile-histogram CLAHE on device (cv2-parity LAB-L transform,
         # ops/clahe.clahe_rgb_device); the reference's TTA transform at
-        # gpu_handler.py:103-117
+        # gpu_handler.py:103-117. clahe_hist_subsample > 1 estimates the
+        # per-tile histograms from a stride-s lattice (throughput knob,
+        # ops/clahe._tile_histograms; 1 = bit-exact cv2 parity).
         from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
-        return clahe_rgb_device(x, clip_limit=v)
+        return clahe_rgb_device(x, clip_limit=v,
+                                hist_subsample=clahe_hist_subsample)
     if kind == "localcontrast":
         # differentiable approximant (kept for training-time augmentation)
         return local_contrast(x, clip=v)
@@ -101,17 +105,43 @@ def apply_variation(x: jnp.ndarray, name: str) -> jnp.ndarray:
 
 
 def expand_tta(x: jnp.ndarray,
-               variations: Sequence[Tuple[str, float]] = DEFAULT_VARIATIONS
+               variations: Sequence[Tuple[str, float]] = DEFAULT_VARIATIONS,
+               *, clahe_hist_subsample: int = 1,
+               clahe_backend: str = "auto"
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B,H,W,3] float → ([B·V,H,W,3], weights [V]); variation-major order
     (x_v = out[v·B:(v+1)·B]).
 
-    The ``clahe_*`` variations are deliberately NOT hand-folded into one
-    multi-clip pass: XLA CSE already shares their identical histogram /
-    LAB / one-hot subexpressions across the per-variation calls, and the
-    explicit V-folded lowering (ops/clahe.clahe_rgb_device_multi) measured
-    118 → 182 ms/batch-128 SLOWER on chip (BASELINE.md round 3)."""
-    outs = [apply_variation(x, name) for name, _ in variations]
+    The ``clahe_*`` variations fold into ONE multi-clip pass when the
+    Pallas LUT-apply kernel engages (TPU + clean block geometry —
+    ops/clahe_pallas shares the VMEM one-hot across clips, so the V-fold
+    is free there). As pure XLA the fold was measured SLOWER (the wider
+    matmul tripled the HBM-materialized one-hot: 118 → 182 ms/batch-128,
+    BASELINE.md round 3), so off-TPU the ladder stays per-variation calls
+    whose identical histogram/LAB subexpressions XLA CSE shares. Results
+    are bit-identical either way (tests/test_clahe*.py).
+
+    clahe_hist_subsample > 1 estimates the CLAHE tile histograms from a
+    stride-s pixel lattice (accuracy/throughput trade, A/B in BASELINE.md
+    round 4; 1 = bit-exact)."""
+    from aerial_image_recognition_tpu.ops.clahe import (
+        _pallas_apply_engages, clahe_rgb_device_multi)
+
+    outs = [None] * len(variations)
+    clahe = [(i, float(name.partition("_")[2]))
+             for i, (name, _) in enumerate(variations)
+             if name.partition("_")[0] == "clahe"]
+    if len(clahe) >= 2 and _pallas_apply_engages(
+            x.shape[1], x.shape[2], (8, 8), clahe_backend):
+        multi = clahe_rgb_device_multi(
+            x, [c for _, c in clahe],
+            hist_subsample=clahe_hist_subsample, backend=clahe_backend)
+        for v, (i, _) in enumerate(clahe):
+            outs[i] = multi[v]
+    for i, (name, _) in enumerate(variations):
+        if outs[i] is None:
+            outs[i] = apply_variation(
+                x, name, clahe_hist_subsample=clahe_hist_subsample)
     w = jnp.asarray([wt for _, wt in variations], dtype=x.dtype)
     return jnp.concatenate(outs, axis=0), w
 

@@ -136,25 +136,43 @@ def clahe_rgb(img: np.ndarray, clip_limit: float = 2.0,
 # A/B numbers: BASELINE.md round-3 TTA section.
 
 
-def _tile_histograms(l8, grid):
-    """int32 [B,H,W] → (hist [B,gh,gw,256] int32, (th, tw)).
+def _tile_histograms(l8, grid, subsample: int = 1):
+    """int32 [B,H,W] → (hist [B,gh,gw,256] int32, (th, tw), n_px).
 
     Per-tile histograms by compare-and-reduce, NOT segment_sum — scatter
     lowers to serialized per-element updates on TPU and was measured to
     dominate the whole TTA step (round 3); an eq+sum over the tile's
-    pixels fuses into a vectorized reduction with no scatter at all."""
+    pixels fuses into a vectorized reduction with no scatter at all.
+
+    subsample > 1 estimates each tile's histogram from a stride-s pixel
+    lattice (s² fewer compares; the clip limit scales with the counted
+    pixel count, so the clip/redistribute semantics are unchanged). The
+    LUTs become an approximation of the exact CLAHE — accuracy/THROUGHPUT
+    trade recorded in BASELINE.md round 4; subsample=1 is bit-exact.
+
+    The stride self-clamps so every tile keeps >= 1024 sampled pixels:
+    below that the integer clip (int(clip_limit·n/256)) quantizes too
+    coarsely and the uniform redistribute flattens the LUT toward a ramp
+    (measured round 4: a 960-px tile at stride 2 → clip 11→2, LUT mean
+    abs err 28.7/255 — vs 2.1 at the production 6400-px tiles)."""
     import jax.numpy as jnp
 
     b, h, w = l8.shape
     gh, gw = grid
     th, tw = -(-h // gh), -(-w // gw)
+    while subsample > 1 and \
+            (-(-th // subsample)) * (-(-tw // subsample)) < 1024:
+        subsample -= 1
     pad_h, pad_w = th * gh - h, tw * gw - w
     padded = jnp.pad(l8, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
-    tiles = padded.reshape(b, gh, th, gw, tw).transpose(0, 1, 3, 2, 4)
-    tiles = tiles.reshape(b, gh, gw, th * tw)
+    tiles = padded.reshape(b, gh, th, gw, tw)
+    if subsample > 1:
+        tiles = tiles[:, :, ::subsample, :, ::subsample]
+    sh, sw = tiles.shape[2], tiles.shape[4]
+    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(b, gh, gw, sh * sw)
     bins = jnp.arange(256, dtype=padded.dtype)
     hist = (tiles[..., None] == bins).astype(jnp.int32).sum(3)
-    return hist, (th, tw)
+    return hist, (th, tw), sh * sw
 
 
 def _luts_from_hist(hist, clip_limit, n_px):
@@ -177,46 +195,71 @@ def _luts_from_hist(hist, clip_limit, n_px):
         / denom.astype(jnp.float32)), 0, 255)
 
 
+def _pallas_apply_engages(h, w, grid, backend: str) -> bool:
+    """Decide whether the Pallas LUT-apply kernel (ops/clahe_pallas) runs:
+    'auto' → on a real TPU when the geometry blocks cleanly; 'pallas' /
+    'pallas_interpret' force it (tests); 'xla' forces the jnp paths."""
+    from aerial_image_recognition_tpu.ops import clahe_pallas as cp
+
+    if backend == "xla":
+        return False
+    ok = cp.supports_geometry(h, w, *grid)
+    if backend in ("pallas", "pallas_interpret"):
+        if not ok:
+            raise ValueError(f"pallas CLAHE apply unsupported for "
+                             f"{h}x{w} grid {grid}")
+        return True
+    from aerial_image_recognition_tpu.ops.pallas_kernels import (
+        pallas_available)
+    return ok and pallas_available()
+
+
 def clahe_gray_device(l8, clip_limit: float = 2.0,
-                      grid: Tuple[int, int] = (8, 8)):
+                      grid: Tuple[int, int] = (8, 8),
+                      hist_subsample: int = 1, backend: str = "auto"):
     """int32 [B, H, W] values 0..255 → int32 [B, H, W], batched jnp CLAHE.
 
     Bit-faithful port of clahe_gray (same padding, clip/redistribution,
-    CDF normalization, and LUT interpolation semantics)."""
-    import jax.numpy as jnp
-
-    b, h, w = l8.shape
-    gh, gw = grid
-    hist, (th, tw) = _tile_histograms(l8, grid)
-    luts = _luts_from_hist(hist, clip_limit, th * tw)  # f32 [B,gh,gw,256]
-
-    if h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
-        out = _apply_luts_blocked(luts[:, :, :, None], l8, gh, gw, th, tw)[0]
-    else:
-        out = _apply_luts_gather(luts, l8, gh, gw, th, tw)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.int32)
+    CDF normalization, and LUT interpolation semantics) at the default
+    hist_subsample=1; >1 estimates the per-tile histograms from a
+    stride-s lattice (see _tile_histograms). On TPU the LUT-application
+    stage runs as a Pallas kernel (ops/clahe_pallas, bit-identical —
+    backend='xla' restores the jnp lowering)."""
+    out = clahe_gray_device_multi(l8, [clip_limit], grid,
+                                  hist_subsample=hist_subsample,
+                                  backend=backend)
+    return out[0]
 
 
-def clahe_gray_device_multi(l8, clip_limits, grid=(8, 8)):
+def clahe_gray_device_multi(l8, clip_limits, grid=(8, 8), *,
+                            hist_subsample: int = 1,
+                            backend: str = "auto"):
     """int32 [B,H,W] × V clip limits → int32 [V,B,H,W] in ONE pass.
 
-    MEASURED AND REJECTED for the TTA ladder (kept as the record +
-    available API): only the clip/redistribute step depends on the clip
-    value, so this shares the histograms / one-hots explicitly — but XLA
-    CSE already deduplicates those identical subexpressions across V
-    separate clahe_gray_device calls in one jit, and the V-folded wider
-    matmul measured 118 → 182 ms/batch-128 SLOWER (chunk size 8 or 32,
-    same result; BASELINE.md round 3). Bit-identical to V separate
-    calls (pinned in tests/test_clahe.py)."""
+    Only the clip/redistribute step depends on the clip value, so the
+    histograms are shared across V. How the LUTs get APPLIED depends on
+    the backend: on TPU ('auto') the Pallas kernel (ops/clahe_pallas)
+    folds all V variants into one VMEM-resident bit-split lookup — the
+    V-fold that LOST as pure XLA (the wider matmul tripled the
+    HBM-materialized one-hot operand: 118 → 182 ms/batch-128, BASELINE.md
+    round 3) is free when the one-hot never leaves VMEM. Off-TPU the
+    measured-best XLA formulation remains. Bit-identical to V separate
+    clahe_gray_device calls either way (pinned in tests/test_clahe.py +
+    tests/test_clahe_pallas.py)."""
     import jax.numpy as jnp
 
     b, h, w = l8.shape
     gh, gw = grid
-    hist, (th, tw) = _tile_histograms(l8, grid)
-    luts = jnp.stack([_luts_from_hist(hist, c, th * tw)
+    hist, (th, tw), n_px = _tile_histograms(l8, grid, hist_subsample)
+    luts = jnp.stack([_luts_from_hist(hist, c, n_px)
                       for c in clip_limits], axis=3)   # [B,gh,gw,V,256]
 
-    if h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
+    if _pallas_apply_engages(h, w, grid, backend):
+        from aerial_image_recognition_tpu.ops.clahe_pallas import (
+            apply_luts_pallas)
+        out = apply_luts_pallas(luts, l8, gh, gw, th, tw,
+                                interpret=(backend == "pallas_interpret"))
+    elif h == gh * th and w == gw * tw and th % 2 == 0 and tw % 2 == 0:
         out = _apply_luts_blocked(luts, l8, gh, gw, th, tw)
     else:
         out = jnp.stack([_apply_luts_gather(luts[:, :, :, v], l8,
@@ -381,33 +424,40 @@ def _lab_inverse_device(L2, a, bb):
 
 
 def clahe_rgb_device(x, clip_limit: float = 2.0,
-                     grid: Tuple[int, int] = (8, 8)):
+                     grid: Tuple[int, int] = (8, 8),
+                     hist_subsample: int = 1, backend: str = "auto"):
     """float [B,H,W,3] in 0..1 → float [B,H,W,3]: exact CLAHE on the LAB
-    lightness channel (device mirror of clahe_rgb, for the TTA stack)."""
+    lightness channel (device mirror of clahe_rgb, for the TTA stack).
+    hist_subsample > 1 trades histogram exactness for throughput (see
+    _tile_histograms)."""
     import jax.numpy as jnp
 
     dtype = x.dtype
     rgb = x.astype(jnp.float32)
     L, a, bb = _lab_forward_device(rgb)
     l8 = jnp.clip(jnp.round(L * 255.0 / 100.0), 0, 255).astype(jnp.int32)
-    l8 = clahe_gray_device(l8, clip_limit, grid)
+    l8 = clahe_gray_device(l8, clip_limit, grid, hist_subsample, backend)
     L2 = l8.astype(jnp.float32) * 100.0 / 255.0
     return _lab_inverse_device(L2, a, bb).astype(dtype)
 
 
-def clahe_rgb_device_multi(x, clip_limits, grid=(8, 8)):
+def clahe_rgb_device_multi(x, clip_limits, grid=(8, 8), *,
+                           hist_subsample: int = 1, backend: str = "auto"):
     """float [B,H,W,3] × V clip limits → float [V,B,H,W,3] in one pass.
 
     Shares the LAB forward transform, the per-tile histograms, and the
-    blocked lookup's one-hots across the V clip parameterizations (the
-    TTA ladder's 3 clahe_* variations); per-image results are
-    bit-identical to V separate clahe_rgb_device calls."""
+    lookup's one-hots across the V clip parameterizations (the TTA
+    ladder's 3 clahe_* variations); per-image results are bit-identical
+    to V separate clahe_rgb_device calls. Backends as
+    clahe_gray_device_multi (Pallas kernel on TPU)."""
     import jax.numpy as jnp
 
     dtype = x.dtype
     rgb = x.astype(jnp.float32)
     L, a, bb = _lab_forward_device(rgb)
     l8 = jnp.clip(jnp.round(L * 255.0 / 100.0), 0, 255).astype(jnp.int32)
-    l8v = clahe_gray_device_multi(l8, clip_limits, grid)   # [V,B,H,W]
+    l8v = clahe_gray_device_multi(l8, clip_limits, grid,
+                                  hist_subsample=hist_subsample,
+                                  backend=backend)        # [V,B,H,W]
     L2 = l8v.astype(jnp.float32) * 100.0 / 255.0
     return _lab_inverse_device(L2, a[None], bb[None]).astype(dtype)

@@ -120,7 +120,11 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             from aerial_image_recognition_tpu.ops.augment import (
                 DEFAULT_VARIATIONS, expand_tta)
             b = x.shape[0]
-            xv, wts = expand_tta(x)
+            # extra.tta_hist_subsample > 1: stride-s CLAHE histogram
+            # estimation (throughput/accuracy knob — BASELINE.md round 4)
+            xv, wts = expand_tta(
+                x, clahe_hist_subsample=int(
+                    cfg.extra.get("tta_hist_subsample", 1)))
             boxes_v, scores_v = bundle.forward(params, xv)
             v = len(DEFAULT_VARIATIONS)
             a = boxes_v.shape[1]

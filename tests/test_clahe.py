@@ -133,6 +133,66 @@ def test_multi_clip_clahe_bit_identical_to_single_calls(rng):
                                    err_msg=str(c))
 
 
+def test_hist_subsample_accuracy_and_guard(rng):
+    """hist_subsample=2 (the TTA throughput knob, BASELINE.md round 4)
+    must stay a close approximation at the production tile geometry and
+    self-clamp to exact on tiles too small to subsample (integer-clip
+    quantization flattens the LUTs below ~1024 sampled px — measured)."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.clahe import clahe_gray_device
+
+    # structured content (gradient + texture) — flat-random histograms
+    # would understate the approximation error
+    s = 640
+    yy, xx = np.mgrid[0:s, 0:s].astype(np.float32)
+    img = (80 + 60 * np.sin(yy / 90) + 40 * np.cos(xx / 60)
+           + rng.normal(0, 18, (s, s)))
+    l8 = jnp.asarray(np.clip(img, 0, 255).astype(np.int32)[None])
+
+    exact = np.asarray(clahe_gray_device(l8, 2.0, (8, 8), 1))
+    approx = np.asarray(clahe_gray_device(l8, 2.0, (8, 8), 2))
+    d = np.abs(exact - approx)
+    # measured round 4 on this content: max 14, mean 2.05 — bound loosely
+    assert d.max() <= 24, f"max diff {d.max()}"
+    assert d.mean() <= 4.0, f"mean diff {d.mean()}"
+
+    # tiny tiles (32×30 → 240 sampled px at stride 2): the guard clamps
+    # the stride back to 1, so the result is bit-equal to exact
+    l8_small = jnp.asarray(
+        np.clip(img[:250, :237], 0, 255).astype(np.int32)[None])
+    exact_s = np.asarray(clahe_gray_device(l8_small, 3.0, (8, 8), 1))
+    approx_s = np.asarray(clahe_gray_device(l8_small, 3.0, (8, 8), 2))
+    np.testing.assert_array_equal(exact_s, approx_s)
+
+
+def test_expand_tta_hist_subsample_plumbs_through(rng):
+    """expand_tta(clahe_hist_subsample=s) must route s to the clahe_*
+    variations (and ONLY those — brightness/gamma/original unchanged)."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops.augment import (
+        DEFAULT_VARIATIONS, expand_tta)
+    from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
+
+    # 512 px / grid 8 → 64×64 tiles → 1024 sampled px at stride 2: the
+    # guard admits the stride, so ss=2 differs from exact
+    s = 512
+    yy = np.linspace(0, 120, s, dtype=np.float32)[:, None, None]
+    img = np.clip(rng.normal(100, 30, (1, s, s, 3)) + yy, 0, 255)
+    x = jnp.asarray(img, jnp.float32) / 255.0
+
+    got, _ = expand_tta(x, clahe_hist_subsample=2)
+    got = got.reshape(len(DEFAULT_VARIATIONS), 1, s, s, 3)
+    for v, (name, _) in enumerate(DEFAULT_VARIATIONS):
+        if name.startswith("clahe_"):
+            clip = float(name.split("_")[1])
+            want = clahe_rgb_device(x, clip_limit=clip, hist_subsample=2)
+            np.testing.assert_allclose(np.asarray(got[v]), np.asarray(want),
+                                       atol=1e-6, err_msg=name)
+            exact = clahe_rgb_device(x, clip_limit=clip, hist_subsample=1)
+            assert np.abs(np.asarray(want) - np.asarray(exact)).max() > 0, \
+                f"{name}: subsample had no effect (guard misfired?)"
+
+
 def test_expand_tta_matches_per_variation_loop(rng):
     """expand_tta must equal the per-variation loop (guards any future
     regrouping of the ladder — e.g. the measured-and-rejected multi-clip
