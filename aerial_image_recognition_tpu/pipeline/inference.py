@@ -121,10 +121,14 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                 DEFAULT_VARIATIONS, expand_tta)
             b = x.shape[0]
             # extra.tta_hist_subsample > 1: stride-s CLAHE histogram
-            # estimation (throughput/accuracy knob — BASELINE.md round 4)
+            # estimation (throughput/accuracy knob — BASELINE.md round 4);
+            # extra.tta_clahe_backend: 'auto' (Pallas kernel on TPU) /
+            # 'xla' (debug/A-B escape hatch)
             xv, wts = expand_tta(
                 x, clahe_hist_subsample=int(
-                    cfg.extra.get("tta_hist_subsample", 1)))
+                    cfg.extra.get("tta_hist_subsample", 1)),
+                clahe_backend=str(
+                    cfg.extra.get("tta_clahe_backend", "auto")))
             boxes_v, scores_v = bundle.forward(params, xv)
             v = len(DEFAULT_VARIATIONS)
             a = boxes_v.shape[1]
