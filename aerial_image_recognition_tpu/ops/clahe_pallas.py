@@ -16,9 +16,15 @@ HBM-resident operand, BASELINE.md round 3) is free in VMEM.
 HBM traffic per 128-batch drops from ~2.5 GB x V to:
   l8 209 MB (read) + LUTs ~25 MB + out 629 MB (V=3, f32) ~= 0.9 GB total.
 
-Numerics are bit-identical to _apply_luts_blocked (same contraction, same
-blend nesting); pinned by tests/test_clahe_pallas.py. Reference TTA
-transform this serves: /root/reference/_script/gpu_handler.py:103-137.
+Numerics vs _apply_luts_blocked: the lookup contraction and blend nesting
+are reproduced exactly (both select integer LUT entries, so the matmuls
+are exact); the only residual freedom is XLA fma fusion in the bilinear
+blend, worth <=1 ULP of f32 at 255-scale pre-round — after
+clahe_gray_device's round-to-level, outputs differ by <=1 level on a
+vanishing fraction of pixels (measured 3/294912; dyadic-weight
+geometries, e.g. 128 px, are raw-bit-identical). Pinned by
+tests/test_clahe_pallas.py. Reference TTA transform this serves:
+/root/reference/_script/gpu_handler.py:103-137.
 
 Geometry guard (falls back to the XLA path otherwise): even tile dims,
 image an exact tile multiple, lane-dim-friendly W (multiple of 128) and
@@ -30,6 +36,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _corner_rows(qi: int, g: int):
@@ -47,7 +54,9 @@ def _apply_kernel(l8_ref, lutA_ref, lutB_ref, wy_ref, wx_ref, out_ref, *,
     l8_ref  [1, bh, W] int32      pixel values 0..255
     lutA_ref/lutB_ref [1, 1, gw, 32, nv*8] bf16   LUT rows y0 / y1 for this
         block-row, pre-arranged (v-major lane layout: lane = v*8 + lo)
-    wy_ref  [1, bh] f32           fractional weight toward y1 per row
+    wy_ref  [1, 1, bh] f32        fractional weight toward y1 per row
+        (kept 3-D so the block's trailing dims are (1, bh) — Mosaic
+        requires dim -2 divisible by 8 or equal to the array dim)
     wx_ref  [qw, bw] f32          fractional weight toward x1 per column
     out_ref [nv, 1, bh, W] f32
     """
@@ -55,7 +64,7 @@ def _apply_kernel(l8_ref, lutA_ref, lutB_ref, wy_ref, wx_ref, out_ref, *,
     v_img = l8_ref[0]                                   # [bh, W] int32
     lutA = lutA_ref[0, 0]                               # [gw, 32, nv*8]
     lutB = lutB_ref[0, 0]
-    wy = wy_ref[0].reshape(bh, 1)                       # [bh, 1]
+    wy = wy_ref[0, 0].reshape(bh, 1)                    # [bh, 1]
 
     rows = [[] for _ in range(nv)]
     for qx in range(qw):
@@ -64,7 +73,8 @@ def _apply_kernel(l8_ref, lutA_ref, lutB_ref, wy_ref, wx_ref, out_ref, *,
         # the pre-arranged (v, lo) lanes — one matmul serves every clip
         L = jnp.concatenate([lutA[x0], lutA[x1], lutB[x0], lutB[x1]],
                             axis=-1)                    # [32, 4*nv*8]
-        vq = jax.lax.dynamic_slice_in_dim(v_img, qx * bw, bw, axis=1)
+        vq = v_img[:, qx * bw:(qx + 1) * bw]            # static slice (qx
+        # is a Python int; dynamic_slice doesn't lower in Mosaic)
         hi = vq >> 3                                    # [bh, bw]
         lo = vq & 7
         hi_oh = (hi[..., None] == jax.lax.broadcasted_iota(
@@ -72,20 +82,21 @@ def _apply_kernel(l8_ref, lutA_ref, lutB_ref, wy_ref, wx_ref, out_ref, *,
         hi_oh = hi_oh.reshape(bh * bw, 32)
         tmp = jax.lax.dot_general(                      # [bh*bw, 4*nv*8]
             hi_oh, L, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.bfloat16)        # integers <= 255:
-        tmp = tmp.reshape(bh, bw, 4 * nv * 8).astype(jnp.float32)  # exact
+            preferred_element_type=jnp.float32)         # Mosaic requires a
+        # 32-bit acc; exact either way (one-hot picks an integer <= 255)
+        tmp = tmp.reshape(bh, bw, 4 * nv * 8)
         lo_oh = (lo[..., None] == jax.lax.broadcasted_iota(
             jnp.int32, (bh, bw, 8), 2)).astype(jnp.float32)
         wx = wx_ref[qx].reshape(1, bw)                  # [1, bw]
-        w4 = ((1 - wy) * (1 - wx), (1 - wy) * wx,       # blend weights in
-              wy * (1 - wx), wy * wx)                   # clahe_gray order
         for v in range(nv):
-            acc = None
+            p = [None] * 4
             for c in range(4):
                 s = tmp[:, :, (c * nv + v) * 8:(c * nv + v) * 8 + 8]
-                p = (s * lo_oh).sum(-1)                 # [bh, bw]
-                acc = w4[c] * p if acc is None else acc + w4[c] * p
-            rows[v].append(acc)
+                p[c] = (s * lo_oh).sum(-1)              # [bh, bw]
+            # EXACTLY _apply_luts_blocked's blend nesting (bit-parity):
+            # (1-wy)((1-wx)p0 + wx p1) + wy((1-wx)p2 + wx p3)
+            rows[v].append((1 - wy) * ((1 - wx) * p[0] + wx * p[1])
+                           + wy * ((1 - wx) * p[2] + wx * p[3]))
     for v in range(nv):
         out_ref[v, 0] = jnp.concatenate(rows[v], axis=1)   # [bh, W]
 
@@ -113,7 +124,7 @@ def apply_luts_pallas(luts, l8, gh: int, gw: int, th: int, tw: int,
     lut_r = luts.reshape(b, gh, gw, nv, 32, 8).transpose(0, 1, 2, 4, 3, 5)
     lut_r = lut_r.reshape(b, gh, gw, 32, nv * 8).astype(jnp.bfloat16)
 
-    wy = _interp_weights_1d(h, th, gh).reshape(qh, bh)
+    wy = _interp_weights_1d(h, th, gh).reshape(qh, 1, bh)
     wx = _interp_weights_1d(w, tw, gw).reshape(qw, bw)
 
     # corner rows as scalar index-map arithmetic (mirrors _corner_rows /
@@ -132,10 +143,14 @@ def apply_luts_pallas(luts, l8, gh: int, gw: int, th: int, tw: int,
             pl.BlockSpec((1, bh, w), lambda i, q: (i, q, 0)),
             pl.BlockSpec((1, 1, gw, 32, nv * 8), y0_map),
             pl.BlockSpec((1, 1, gw, 32, nv * 8), y1_map),
-            pl.BlockSpec((1, bh), lambda i, q: (q, 0)),
+            pl.BlockSpec((1, 1, bh), lambda i, q: (q, 0, 0)),
             pl.BlockSpec((qw, bw), lambda i, q: (0, 0)),
         ],
         out_specs=pl.BlockSpec((nv, 1, bh, w), lambda i, q: (0, i, q, 0)),
         out_shape=jax.ShapeDtypeStruct((nv, b, h, w), jnp.float32),
+        # the unrolled qw-iteration loop keeps every iteration's lane-padded
+        # intermediates on the Mosaic stack (~50 MB measured) — raise the
+        # scoped-VMEM limit from the 16 MB default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
         interpret=interpret,
     )(l8, lut_r, lut_r, wy, wx)
