@@ -2,19 +2,35 @@
 
 Why a kernel: the XLA blocked formulation (ops/clahe._apply_luts_blocked)
 is exact and 72x faster than gathers, but it must MATERIALIZE the hi-bit
-one-hot matmul operand in HBM (~840 MB per 128x640^2 batch at bf16) plus
-the matmul output — measured ~39 ms per clip, x3 clips = the dominant cost
-of the TTA ladder (BASELINE.md round 4 profile). Here one grid program
-handles one half-tile block-row of one image: the one-hot lives only in
-VMEM, the 256-entry lookup stays the same exact bit-split contraction
-(hi 5 bits -> one-hot x LUT matmul on the MXU, exact in bf16 since LUT
-values are integers <= 255 and a one-hot picks a single one; lo 3 bits ->
-eq+multiply reduction), and all V clip variants share the one one-hot by
-widening the matmul rhs — the V-fold that LOST under XLA (it tripled the
-HBM-resident operand, BASELINE.md round 3) is free in VMEM.
+one-hot matmul operand in HBM (~3.3 GB per 128x640^2 batch at bf16) plus
+the bf16 matmul output (~10 GB each way) — measured ~125 ms per 3-clip
+128-batch, the dominant cost of the TTA ladder (BASELINE.md round 4
+profile). Here the one-hot never leaves VMEM.
 
-HBM traffic per 128-batch drops from ~2.5 GB x V to:
-  l8 209 MB (read) + LUTs ~25 MB + out 629 MB (V=3, f32) ~= 0.9 GB total.
+Design (v2 — the v1 block-row kernel measured 591 ms vs XLA's 125 ms and
+is the reason for this shape): ONE grid program per half-tile block
+(grid b x qh x qw). Each program loads its [bh, bw] pixel block plus the
+4 bilinear corner LUTs — corner selection happens in the BlockSpec index
+maps (y0 = max(q-1,0)//2, y1 = min((q+1)//2, g-1), mirroring
+ops/clahe._corner_tables), so the kernel body has NO loops and ~3 MB of
+VMEM stack. v1 instead kept a whole block-row per program with an
+unrolled 16-iteration qx loop: Mosaic does not reuse stack across
+unrolled iterations, so every iteration's lane-padded intermediates
+stayed live (~50 MB scoped stack), which both forced a raised VMEM limit
+(and an outright VMEM OOM inside the fused TTA step) and destroyed DMA
+pipelining.
+
+The 256-entry lookup is ONE one-hot x LUT matmul on the MXU per program:
+one_hot [bh*bw, 256] bf16 (two full lane tiles — no 32-lane padding
+waste) x corner-concatenated LUTs [256, 4*nv] with an f32 accumulator.
+Exact: a one-hot picks a single integer <= 255 (bf16-representable), and
+all nv clip variants share the one one-hot by widening the rhs — the
+V-fold that LOST as pure XLA (it tripled the HBM-resident operand,
+BASELINE.md round 3) is free in VMEM.
+
+HBM traffic per 128-batch (nv=3): l8 209 MB + relayout 2x209 MB +
+LUTs ~25 MB + out 629 MB written + 2x629 MB transpose ~= 2.5 GB total,
+~20x less than the XLA path moves.
 
 Numerics vs _apply_luts_blocked: the lookup contraction and blend nesting
 are reproduced exactly (both select integer LUT entries, so the matmuls
@@ -22,7 +38,8 @@ are exact); the only residual freedom is XLA fma fusion in the bilinear
 blend, worth <=1 ULP of f32 at 255-scale pre-round — after
 clahe_gray_device's round-to-level, outputs differ by <=1 level on a
 vanishing fraction of pixels (measured 3/294912; dyadic-weight
-geometries, e.g. 128 px, are raw-bit-identical). Pinned by
+geometries, e.g. 128 px, are raw-bit-identical; the production 640-px
+geometry measured raw-bit-identical on chip). Pinned by
 tests/test_clahe_pallas.py. Reference TTA transform this serves:
 /root/reference/_script/gpu_handler.py:103-137.
 
@@ -36,69 +53,45 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
-def _corner_rows(qi: int, g: int):
-    """Static corner tile rows for half-tile block qi (matches
-    ops/clahe._corner_tables: repeat + edge-pad + slice semantics)."""
-    lo = max(qi - 1, 0) // 2
-    hi = min((qi + 1) // 2, g - 1)
-    return lo, hi
+def _apply_kernel(l8_ref, a00_ref, a01_ref, a10_ref, a11_ref,
+                  wy_ref, wx_ref, out_ref, *, bh: int, bw: int, nv: int):
+    """One program = one half-tile block of one image.
 
-
-def _apply_kernel(l8_ref, lutA_ref, lutB_ref, wy_ref, wx_ref, out_ref, *,
-                  gw: int, bh: int, bw: int, nv: int):
-    """One program = one half-tile block-row (bh rows) of one image.
-
-    l8_ref  [1, bh, W] int32      pixel values 0..255
-    lutA_ref/lutB_ref [1, 1, gw, 32, nv*8] bf16   LUT rows y0 / y1 for this
-        block-row, pre-arranged (v-major lane layout: lane = v*8 + lo)
-    wy_ref  [1, 1, bh] f32        fractional weight toward y1 per row
-        (kept 3-D so the block's trailing dims are (1, bh) — Mosaic
-        requires dim -2 divisible by 8 or equal to the array dim)
-    wx_ref  [qw, bw] f32          fractional weight toward x1 per column
-    out_ref [nv, 1, bh, W] f32
+    l8_ref  [1, 1, 1, bh, bw] int32   pixel values 0..255
+    aYX_ref [1, 1, 1, 256, nv] bf16   corner (yY, xX) LUT for this block
+        (corner tile row/col resolved by the BlockSpec index maps)
+    wy_ref  [1, 1, bh] f32            fractional weight toward y1 per row
+    wx_ref  [1, 1, bw] f32            fractional weight toward x1 per col
+    out_ref [nv, 1, 1, 1, bh, bw] f32
     """
-    qw = 2 * gw
-    v_img = l8_ref[0]                                   # [bh, W] int32
-    lutA = lutA_ref[0, 0]                               # [gw, 32, nv*8]
-    lutB = lutB_ref[0, 0]
-    wy = wy_ref[0, 0].reshape(bh, 1)                    # [bh, 1]
-
-    rows = [[] for _ in range(nv)]
-    for qx in range(qw):
-        x0, x1 = _corner_rows(qx, gw)
-        # rhs [32, 4*nv*8]: corners major (y0x0, y0x1, y1x0, y1x1), then
-        # the pre-arranged (v, lo) lanes — one matmul serves every clip
-        L = jnp.concatenate([lutA[x0], lutA[x1], lutB[x0], lutB[x1]],
-                            axis=-1)                    # [32, 4*nv*8]
-        vq = v_img[:, qx * bw:(qx + 1) * bw]            # static slice (qx
-        # is a Python int; dynamic_slice doesn't lower in Mosaic)
-        hi = vq >> 3                                    # [bh, bw]
-        lo = vq & 7
-        hi_oh = (hi[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (bh, bw, 32), 2)).astype(jnp.bfloat16)
-        hi_oh = hi_oh.reshape(bh * bw, 32)
-        tmp = jax.lax.dot_general(                      # [bh*bw, 4*nv*8]
-            hi_oh, L, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)         # Mosaic requires a
-        # 32-bit acc; exact either way (one-hot picks an integer <= 255)
-        tmp = tmp.reshape(bh, bw, 4 * nv * 8)
-        lo_oh = (lo[..., None] == jax.lax.broadcasted_iota(
-            jnp.int32, (bh, bw, 8), 2)).astype(jnp.float32)
-        wx = wx_ref[qx].reshape(1, bw)                  # [1, bw]
-        for v in range(nv):
-            p = [None] * 4
-            for c in range(4):
-                s = tmp[:, :, (c * nv + v) * 8:(c * nv + v) * 8 + 8]
-                p[c] = (s * lo_oh).sum(-1)              # [bh, bw]
-            # EXACTLY _apply_luts_blocked's blend nesting (bit-parity):
-            # (1-wy)((1-wx)p0 + wx p1) + wy((1-wx)p2 + wx p3)
-            rows[v].append((1 - wy) * ((1 - wx) * p[0] + wx * p[1])
-                           + wy * ((1 - wx) * p[2] + wx * p[3]))
-    for v in range(nv):
-        out_ref[v, 0] = jnp.concatenate(rows[v], axis=1)   # [bh, W]
+    v = l8_ref[0, 0, 0]                                 # [bh, bw] int32
+    # corners major (y0x0, y0x1, y1x0, y1x1) — clahe_gray's blend order
+    L = jnp.concatenate([a00_ref[0, 0, 0], a01_ref[0, 0, 0],
+                         a10_ref[0, 0, 0], a11_ref[0, 0, 0]],
+                        axis=-1)                        # [256, 4*nv]
+    n = bh * bw
+    # one-hot built 3-D then collapsed — (bh,bw)->(n,1) is an unsupported
+    # Mosaic shape cast, (bh,bw,256)->(n,256) lowers fine
+    oh = (v[..., None] == jax.lax.broadcasted_iota(
+        jnp.int32, (bh, bw, 256), 2)).astype(jnp.bfloat16).reshape(n, 256)
+    p = jax.lax.dot_general(                            # [n, 4*nv]
+        oh, L, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)             # Mosaic needs a
+    # 32-bit acc; exact either way (one-hot picks an integer <= 255)
+    P = p.reshape(bh, bw, 4 * nv)
+    wy = wy_ref[0, 0].reshape(bh, 1)
+    wx = wx_ref[0, 0].reshape(1, bw)
+    for vv in range(nv):
+        p0 = P[:, :, 0 * nv + vv]
+        p1 = P[:, :, 1 * nv + vv]
+        p2 = P[:, :, 2 * nv + vv]
+        p3 = P[:, :, 3 * nv + vv]
+        # EXACTLY _apply_luts_blocked's blend nesting (bit-parity):
+        # (1-wy)((1-wx)p0 + wx p1) + wy((1-wx)p2 + wx p3)
+        out_ref[vv, 0, 0, 0] = ((1 - wy) * ((1 - wx) * p0 + wx * p1)
+                                + wy * ((1 - wx) * p2 + wx * p3))
 
 
 def supports_geometry(h: int, w: int, gh: int, gw: int) -> bool:
@@ -112,7 +105,7 @@ def apply_luts_pallas(luts, l8, gh: int, gw: int, th: int, tw: int,
     """[B,gh,gw,V,256] f32 LUTs x [B,H,W] int32 -> [V,B,H,W] f32.
 
     Drop-in for ops/clahe._apply_luts_blocked on supported geometries
-    (supports_geometry); numerically identical (same exact contraction)."""
+    (supports_geometry); numerics per the module docstring."""
     from aerial_image_recognition_tpu.ops.clahe import _interp_weights_1d
 
     b, h, w = l8.shape
@@ -120,37 +113,47 @@ def apply_luts_pallas(luts, l8, gh: int, gw: int, th: int, tw: int,
     bh, bw = th // 2, tw // 2
     qh, qw = 2 * gh, 2 * gw
 
-    # [B,gh,gw,V,256] -> [B,gh,gw,32,V*8] bf16 (hi-bit rows x (v,lo) lanes)
-    lut_r = luts.reshape(b, gh, gw, nv, 32, 8).transpose(0, 1, 2, 4, 3, 5)
-    lut_r = lut_r.reshape(b, gh, gw, 32, nv * 8).astype(jnp.bfloat16)
+    # [B,gh,gw,V,256] -> [B,gh,gw,256,V] bf16 (exact: integers <= 255)
+    lutc = luts.transpose(0, 1, 2, 4, 3).astype(jnp.bfloat16)
+    # pixels regrouped so one half-tile block is one trailing [bh,bw] tile
+    l8b = l8.reshape(b, qh, bh, qw, bw).transpose(0, 1, 3, 2, 4)
 
     wy = _interp_weights_1d(h, th, gh).reshape(qh, 1, bh)
-    wx = _interp_weights_1d(w, tw, gw).reshape(qw, bw)
+    wx = _interp_weights_1d(w, tw, gw).reshape(qw, 1, bw)
 
-    # corner rows as scalar index-map arithmetic (mirrors _corner_rows /
-    # ops/clahe._corner_tables): y0 = max(q-1,0)//2, y1 = min((q+1)//2, gh-1)
-    def y0_map(i, q):
-        return i, jnp.maximum(q - 1, 0) // 2, 0, 0, 0
+    # corner rows/cols as index-map arithmetic (mirrors
+    # ops/clahe._corner_tables): i0 = max(q-1,0)//2, i1 = min((q+1)//2, g-1)
+    def corner(qy, qx, ysel, xsel):
+        y = (jnp.maximum(qy - 1, 0) // 2 if ysel == 0
+             else jnp.minimum((qy + 1) // 2, gh - 1))
+        x = (jnp.maximum(qx - 1, 0) // 2 if xsel == 0
+             else jnp.minimum((qx + 1) // 2, gw - 1))
+        return y, x
 
-    def y1_map(i, q):
-        return i, jnp.minimum((q + 1) // 2, gh - 1), 0, 0, 0
+    def lut_map(ysel, xsel):
+        def m(i, qy, qx):
+            y, x = corner(qy, qx, ysel, xsel)
+            return i, y, x, 0, 0
+        return m
 
-    kernel = partial(_apply_kernel, gw=gw, bh=bh, bw=bw, nv=nv)
-    return pl.pallas_call(
+    lut_spec = lambda ysel, xsel: pl.BlockSpec(
+        (1, 1, 1, 256, nv), lut_map(ysel, xsel))
+
+    kernel = partial(_apply_kernel, bh=bh, bw=bw, nv=nv)
+    out6 = pl.pallas_call(
         kernel,
-        grid=(b, qh),
+        grid=(b, qh, qw),
         in_specs=[
-            pl.BlockSpec((1, bh, w), lambda i, q: (i, q, 0)),
-            pl.BlockSpec((1, 1, gw, 32, nv * 8), y0_map),
-            pl.BlockSpec((1, 1, gw, 32, nv * 8), y1_map),
-            pl.BlockSpec((1, 1, bh), lambda i, q: (q, 0, 0)),
-            pl.BlockSpec((qw, bw), lambda i, q: (0, 0)),
+            pl.BlockSpec((1, 1, 1, bh, bw),
+                         lambda i, qy, qx: (i, qy, qx, 0, 0)),
+            lut_spec(0, 0), lut_spec(0, 1), lut_spec(1, 0), lut_spec(1, 1),
+            pl.BlockSpec((1, 1, bh), lambda i, qy, qx: (qy, 0, 0)),
+            pl.BlockSpec((1, 1, bw), lambda i, qy, qx: (qx, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((nv, 1, bh, w), lambda i, q: (0, i, q, 0)),
-        out_shape=jax.ShapeDtypeStruct((nv, b, h, w), jnp.float32),
-        # the unrolled qw-iteration loop keeps every iteration's lane-padded
-        # intermediates on the Mosaic stack (~50 MB measured) — raise the
-        # scoped-VMEM limit from the 16 MB default
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=112 * 2**20),
+        out_specs=pl.BlockSpec((nv, 1, 1, 1, bh, bw),
+                               lambda i, qy, qx: (0, i, qy, qx, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nv, b, qh, qw, bh, bw),
+                                       jnp.float32),
         interpret=interpret,
-    )(l8, lut_r, lut_r, wy, wx)
+    )(l8b, lutc, lutc, lutc, lutc, wy, wx)
+    return out6.transpose(0, 1, 2, 4, 3, 5).reshape(nv, b, h, w)
