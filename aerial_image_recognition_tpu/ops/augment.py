@@ -78,7 +78,8 @@ def enhance_shadows(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_variation(x: jnp.ndarray, name: str, *,
-                    clahe_hist_subsample: int = 1) -> jnp.ndarray:
+                    clahe_hist_subsample: int = 1,
+                    clahe_backend: str = "auto") -> jnp.ndarray:
     if name == "original":
         return x
     if name == "shadow":
@@ -97,7 +98,8 @@ def apply_variation(x: jnp.ndarray, name: str, *,
         # ops/clahe._tile_histograms; 1 = bit-exact cv2 parity).
         from aerial_image_recognition_tpu.ops.clahe import clahe_rgb_device
         return clahe_rgb_device(x, clip_limit=v,
-                                hist_subsample=clahe_hist_subsample)
+                                hist_subsample=clahe_hist_subsample,
+                                backend=clahe_backend)
     if kind == "localcontrast":
         # differentiable approximant (kept for training-time augmentation)
         return local_contrast(x, clip=v)
@@ -141,7 +143,8 @@ def expand_tta(x: jnp.ndarray,
     for i, (name, _) in enumerate(variations):
         if outs[i] is None:
             outs[i] = apply_variation(
-                x, name, clahe_hist_subsample=clahe_hist_subsample)
+                x, name, clahe_hist_subsample=clahe_hist_subsample,
+                clahe_backend=clahe_backend)
     w = jnp.asarray([wt for _, wt in variations], dtype=x.dtype)
     return jnp.concatenate(outs, axis=0), w
 

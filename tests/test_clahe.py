@@ -193,6 +193,33 @@ def test_expand_tta_hist_subsample_plumbs_through(rng):
                 f"{name}: subsample had no effect (guard misfired?)"
 
 
+def test_variation_backend_plumbs_through(rng, monkeypatch):
+    """apply_variation/expand_tta must forward clahe_backend to
+    clahe_rgb_device. Regression for a round-4 bug the CPU suite could
+    not see: backend='xla' skipped the multi-clip fold but the
+    per-variation fallback still called clahe_rgb_device with 'auto', so
+    on TPU the escape hatch silently ran the Pallas kernel anyway (and
+    the A/B it existed for measured pallas vs pallas)."""
+    import jax.numpy as jnp
+    from aerial_image_recognition_tpu.ops import augment, clahe
+
+    seen = []
+    real = clahe.clahe_rgb_device
+
+    def spy(x, clip_limit=2.0, grid=(8, 8), hist_subsample=1,
+            backend="auto"):
+        seen.append(backend)
+        return real(x, clip_limit=clip_limit, grid=grid,
+                    hist_subsample=hist_subsample, backend=backend)
+
+    monkeypatch.setattr(clahe, "clahe_rgb_device", spy)
+    x = jnp.asarray(rng.integers(0, 255, (1, 64, 64, 3)),
+                    jnp.float32) / 255.0
+    augment.apply_variation(x, "clahe_2.0", clahe_backend="xla")
+    got, _ = augment.expand_tta(x, clahe_backend="xla")
+    assert seen and set(seen) == {"xla"}, seen
+
+
 def test_expand_tta_matches_per_variation_loop(rng):
     """expand_tta must equal the per-variation loop (guards any future
     regrouping of the ladder — e.g. the measured-and-rejected multi-clip
