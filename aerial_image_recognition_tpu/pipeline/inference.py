@@ -361,20 +361,44 @@ def detection_sets_agree(out_a, out_b, *, min_match_frac: float = 0.9,
 class SelfQuantizingStep:
     """Turnkey int8: a DetectStep shim that calibrates itself on the scan's
     own first batches, then hot-swaps to the int8-quantized program behind
-    a parity gate.
+    a NON-VACUOUS parity gate.
 
     The reference's int8 story is an archived TensorRT deployment config
     (simple_detector_arch.py:40-78) requiring an offline engine build; the
     segmentation path here already self-calibrates on its raster
     (pipeline/rasters.py) — this brings the same UX to detect/serve:
-    ``--quantize int8`` with no ``calibrate`` step. The first
-    ``quantize_calib_batches`` (default 2) batches run in bf16 (their
-    results are final — nothing is reprocessed); their images calibrate the
-    activation absmax table; the int8 build is then validated against the
-    bf16 output of the last collected batch (detection_sets_agree) and, on
-    any mismatch OR quantization error, the scan silently continues in bf16
-    (state 'bf16-fallback', reason recorded). States: 'calibrating' →
-    'int8' | 'bf16-fallback'; observable via .quantize_state/.parity.
+    ``--quantize int8`` with no ``calibrate`` step.
+
+    Semantics (round 5 — the round-4 gate could pass vacuously when the
+    calibration batches held no detections, silently hot-swapping exactly
+    the scans whose detections only arrive later):
+
+    * The first ``quantize_calib_batches`` (default 2) batches run in bf16
+      (their results are final — nothing is reprocessed) and their images
+      calibrate the activation absmax table.
+    * The swap additionally requires a *detection-bearing* bf16 reference
+      batch: calibration keeps waiting (bf16, no further image collection)
+      until some batch's bf16 output holds at least
+      ``quantize_parity_min_detections`` (default 1) detections; that
+      batch's images join the calibration set and its output anchors the
+      parity gate (detection_sets_agree), so the gate can never pass on an
+      empty-vs-empty comparison.
+    * Bounded wait, settling on bf16: after ``quantize_calib_wait_batches``
+      (default 16) batches with no detection anywhere, the step STAYS bf16
+      (state 'bf16-fallback', reason recorded) — correctness-neutral by
+      definition on the detections seen so far, and it ends the per-batch
+      host readback the wait costs. The alternative ('int8-unvalidated':
+      swap now, validate retroactively) was built and rejected by its own
+      regression test: an int8 program calibrated on degenerate content can
+      silently DROP detections, and a retroactive gate keyed on the int8
+      output's own detections can never see them. Scans known to start
+      sparse (ocean approach, cloud deck) should raise
+      ``quantize_calib_wait_batches``.
+    * Any quantization error or parity miss ⇒ the scan silently continues
+      in bf16 (state 'bf16-fallback', reason recorded).
+
+    States: 'calibrating' → 'int8' | 'bf16-fallback'; observable via
+    .quantize_state/.parity.
     """
 
     def __init__(self, base: DetectStep, cfg: DetectorConfig, kwargs: dict):
@@ -384,8 +408,13 @@ class SelfQuantizingStep:
         self._kwargs = kwargs
         self._target = max(1, int(cfg.extra.get("quantize_calib_batches",
                                                 2)))
+        self._min_det = max(1, int(cfg.extra.get(
+            "quantize_parity_min_detections", 1)))
+        self._max_wait = max(self._target, int(cfg.extra.get(
+            "quantize_calib_wait_batches", 16)))
         self._collected = []      # host uint8 [B,S,S,3] copies
-        self._last = None         # (images-as-given, bounds, bf16 out)
+        self._ref = None          # (images-as-given, bounds, bf16 out)
+        self._seen = 0            # bf16 batches observed while calibrating
         self.quantize_state = "calibrating"
         self.parity = None
         self.fallback_reason = None
@@ -432,16 +461,39 @@ class SelfQuantizingStep:
         if self.quantize_state != "calibrating":
             return self._active(images, bounds)
         import numpy as np
-        host = np.asarray(images)     # before the call: donation-safe
-        if self._base.input_layout == "s2d2" and host.shape[-1] != 3:
-            from aerial_image_recognition_tpu.ops.quadstem import (
-                host_s2d2_inverse)
-            host = host_s2d2_inverse(host)
+        collect = len(self._collected) < self._target
+        host = np.asarray(images) if collect else None  # donation-safe copy
         out = self._base(images, bounds)
-        self._collected.append(host)
-        self._last = (images, bounds, out)
-        if len(self._collected) >= self._target:
+        self._seen += 1
+        # non-vacuous gate: a parity reference must carry detections
+        ndet = int(np.asarray(out[0].valid).sum())
+        if ndet >= self._min_det and self._ref is None:
+            self._ref = (images, bounds, out)
+            if not collect:
+                # the reference batch joins the calibration set so absmax
+                # sees detection-bearing content even when the first
+                # `target` batches were empty scenery
+                collect, host = True, np.asarray(images)
+        if collect:
+            if self._base.input_layout == "s2d2" and host.shape[-1] != 3:
+                from aerial_image_recognition_tpu.ops.quadstem import (
+                    host_s2d2_inverse)
+                host = host_s2d2_inverse(host)
+            self._collected.append(host)
+        if len(self._collected) >= self._target and self._ref is not None:
             self._quantize()
+        elif self._seen >= self._max_wait:
+            # settle on bf16: no detection-bearing batch to validate
+            # against within the wait budget (see class docstring for why
+            # swapping unvalidated is unsound)
+            self.quantize_state = "bf16-fallback"
+            self.fallback_reason = (
+                f"no detections in the first {self._seen} batches to "
+                "validate int8 parity — staying bf16 (raise "
+                "quantize_calib_wait_batches for scans that start sparse)")
+            print(f"int8 self-calibration: {self.fallback_reason}")
+            self._collected = []
+            self._ref = None
         return out
 
     def _quantize(self):
@@ -461,7 +513,7 @@ class SelfQuantizingStep:
                     f"int8 step layout {qstep.input_layout!r} != bf16 "
                     f"{self._base.input_layout!r} — ingest batches would "
                     "be misshaped")
-            images, bounds, bf16_out = self._last
+            images, bounds, bf16_out = self._ref
             qout = qstep(images, bounds)
             ok, stats = detection_sets_agree(bf16_out, qout)
             self.parity = stats
@@ -471,14 +523,14 @@ class SelfQuantizingStep:
             self._active = qstep
             self.quantize_state = "int8"
             print(f"int8 self-calibration: switched to int8 after "
-                  f"{len(self._collected)} batches (parity {stats})")
+                  f"{self._seen} batches (parity {stats})")
         except Exception as e:          # noqa: BLE001 — any failure ⇒ bf16
             self.quantize_state = "bf16-fallback"
             self.fallback_reason = repr(e)
             print(f"int8 self-calibration failed — continuing in bf16: {e}")
         finally:
             self._collected = []
-            self._last = None
+            self._ref = None
 
 
 def make_segment_fn(bundle: ModelBundle, cfg: DetectorConfig):

@@ -436,8 +436,40 @@ def main():
     rng = np.random.default_rng(0)
     bounds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]],
                                   dtype=jnp.float32), (batch, 1))
-    raws = [rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)
-            for _ in range(2)]
+
+    # Detection-BEARING tiles + the trained fixture (round 5, VERDICT r4
+    # weak-1): the turnkey parity gate must validate on real detections —
+    # BENCH_r04's committed parity block was {0,0,0} because random noise
+    # under untrained weights detects nothing, which proved throughput but
+    # zero parity. FakeWorld tiles at the fixture's training scale
+    # (0.5 m/px → 320 m ground per 640-px tile) put ~15 cars per tile;
+    # same program shapes either way, so throughput is unaffected.
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures",
+                           "yolov7_tiny_fakeworld.npz")
+    params_path = fixture if os.path.exists(fixture) else None
+    if params_path:
+        import math
+        from aerial_image_recognition_tpu.fetch.fake import FakeWorld
+        world = FakeWorld(center_lon=21.0, center_lat=52.2,
+                          extent_deg=0.02, n_cars=800, seed=4)
+        m2lon = 1.0 / (111319.9 * math.cos(math.radians(52.2)))
+        m2lat = 1.0 / 111319.9
+        half = 160.0                       # meters: 320 m tiles = 0.5 m/px
+        pool = []
+        for k in range(8):
+            lon = 21.0 + (k - 3.5) * 0.002
+            bb = (lon - half * m2lon, 52.2 - half * m2lat,
+                  lon + half * m2lon, 52.2 + half * m2lat)
+            pool.append(world.render(bb, 640, 640))
+        reps = (batch + len(pool) - 1) // len(pool)
+        base = np.tile(np.stack(pool), (reps, 1, 1, 1))[:batch]
+        # two distinct buffers (shifted tile order) so neither XLA nor the
+        # tunnel can dedup the alternating transfers
+        raws = [base, np.roll(base, 1, axis=0)]
+    else:
+        raws = [rng.integers(0, 255, (batch, 640, 640, 3), dtype=np.uint8)
+                for _ in range(2)]
 
     # HEADLINE (round 4, VERDICT r3 item 2): the TURNKEY deployment path —
     # `detect --quantize int8` with no calibrate step. The step
@@ -447,7 +479,7 @@ def main():
     # pinned by tests/test_int8.py). Measured INTERLEAVED with the bf16
     # base step (tunnel throughput drifts minute to minute — CLAUDE.md).
     # BENCH_INT8=0 measures the plain bf16 step alone (the old headline).
-    cfg = DetectorConfig()
+    cfg = DetectorConfig(params_path=params_path)
     turnkey = os.environ.get("BENCH_INT8", "1") != "0"
     if turnkey:
         cfg.extra["quantize"] = "int8"
