@@ -281,6 +281,18 @@ class DetectionServer:
                         out = dict(server.stats)
                         out["planes"] = {n: dict(pl.counters)
                                          for n, pl in server._planes.items()}
+                    # turnkey int8 self-quantization state (a
+                    # SelfQuantizingStep behind `serve --quantize int8`
+                    # with no calib file): state + parity are the
+                    # operator's only window into whether the hot-swap
+                    # happened and what validated it
+                    qs = getattr(server.step, "quantize_state", None)
+                    if qs is not None:
+                        out["quantize_state"] = qs
+                        out["quantize_parity"] = server.step.parity
+                        if server.step.fallback_reason:
+                            out["quantize_fallback_reason"] = \
+                                server.step.fallback_reason
                     self._reply(200, out)
                 else:
                     self._reply(404, {"error": "unknown path"})

@@ -796,6 +796,50 @@ def test_int8_self_calibration_bounded_settles_bf16(tmp_path, bundles):
     assert int(np.asarray(out[0].valid).sum()) >= 4
 
 
+def test_int8_self_calibration_on_dp_mesh(tmp_path, bundles):
+    """Turnkey self-quantization composed with the data-parallel mesh
+    (VERDICT r4 weak-3): calibration's host readback of a SHARDED image
+    batch (np.asarray on the mesh layout), the int8 rebuild compiled over
+    the same mesh kwargs, and post-swap int8-vs-bf16 parity on sharded
+    batches."""
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.parallel.mesh import make_mesh
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        SelfQuantizingStep, build_detect_step, detection_sets_agree)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, qb, tiles = bundles
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+    mesh = make_mesh()                      # 8 CPU devices (conftest)
+    batch = 8
+
+    cfg = DetectorConfig(confidence_threshold=0.4, params_path=params_path)
+    cfg.extra["quantize"] = "int8"
+    cfg.extra["quantize_calib_batches"] = 1
+    step = build_detect_step(cfg, batch=batch, model_size=SIZE, mesh=mesh)
+    assert isinstance(step, SelfQuantizingStep)
+    assert step.input_shardings is not None
+    bounds_np = np.tile(np.asarray(
+        [[20.999, 52.199, 21.001, 52.201]], np.float32), (batch, 1))
+    imgs = jax.device_put(step.pack_images(tiles[:8]),
+                          step.input_shardings[0])
+    bnds = jax.device_put(bounds_np, step.input_shardings[1])
+    step(imgs, bnds)            # calibrates on the sharded batch
+    assert step.quantize_state == "int8", step.fallback_reason
+    assert step.parity["total_a"] >= 1 and step.parity["matched"] >= 1
+    assert step.bundle.__class__.__name__ == "Int8Bundle"
+    assert step.input_shardings is not None   # int8 rebuild kept the mesh
+
+    # post-swap: sharded int8 batches still match the (mesh-compiled) bf16
+    # step's detections
+    imgs2 = jax.device_put(step.pack_images(tiles[4:12]),
+                           step.input_shardings[0])
+    out_q = step(imgs2, bnds)
+    out_f = step.base_step(imgs2, bnds)
+    ok, stats = detection_sets_agree(out_f, out_q)
+    assert ok and stats["matched"] >= 1, stats
+
+
 @pytest.mark.slow
 def test_int8_turnkey_full_scan(tmp_path, bundles):
     """Config-driven turnkey composition: CarDetector builds its own step

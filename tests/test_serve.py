@@ -365,3 +365,74 @@ def _tile_jpeg_raw(k):
     bbox = (lon - 4.8 * M2LON, lat - 4.8 * M2LAT,
             lon + 4.8 * M2LON, lat + 4.8 * M2LAT)
     return WORLD.render(bbox, 96, 96)
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="trained fixture not present")
+def test_serve_turnkey_self_quantization(tmp_path):
+    """`serve --quantize int8` with NO calibration file (VERDICT r4
+    weak-3): the SelfQuantizingStep calibrates on live traffic under the
+    pipelined _Plane (warmup's empty batch must NOT flip a vacuous swap),
+    hot-swaps mid-traffic once a detection-bearing batch validates parity,
+    and /stats surfaces the state + parity. Requests before, during and
+    after the swap all land on the known cars."""
+    import tempfile
+
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        SelfQuantizingStep, build_detect_step)
+
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    bundle.params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), load_params(FIXTURE))
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+    cfg_d = {"confidence_threshold": 0.4, "params_path": params_path,
+             "extra": {"quantize": "int8", "quantize_calib_batches": 1}}
+    cfg = DetectorConfig().merged(cfg_d)
+    step = build_detect_step(cfg, batch=4, model_size=96)
+    assert isinstance(step, SelfQuantizingStep)
+
+    # warmup drives one all-zeros batch through the step: with the
+    # round-5 gate this is a detection-free calibration batch — the state
+    # must still be 'calibrating' when traffic starts
+    srv = DetectionServer(detect_step=step, max_wait_ms=30.0).start()
+    try:
+        assert step.quantize_state == "calibrating"
+        s = requests.get(srv.url + "/stats", timeout=10).json()
+        assert s["quantize_state"] == "calibrating"
+
+        def one(k):
+            body, bbox, truth = _tile_jpeg(k)
+            r = requests.post(
+                srv.url + "/detect",
+                params={"west": bbox[0], "south": bbox[1],
+                        "east": bbox[2], "north": bbox[3]},
+                data=body, timeout=120)
+            return r, truth
+
+        results = []
+        # wave 1 swaps mid-traffic (first detection-bearing batch
+        # validates + hot-swaps inside the batch thread's dispatch);
+        # wave 2 runs the int8 program
+        for wave in range(2):
+            with cf.ThreadPoolExecutor(4) as pool:
+                results += list(pool.map(one, range(4 * wave,
+                                                    4 * wave + 4)))
+        assert step.quantize_state == "int8", step.fallback_reason
+        assert step.bundle.__class__.__name__ == "Int8Bundle"
+        hits = 0
+        for r, (tlon, tlat) in results:
+            assert r.status_code == 200, r.text
+            dets = r.json()["detections"]
+            assert dets, "turnkey serve lost the centered car"
+            d_m = min(np.hypot((d["lon"] - tlon) / M2LON,
+                               (d["lat"] - tlat) / M2LAT) for d in dets)
+            hits += d_m < 2.0
+        assert hits >= 6
+        s = requests.get(srv.url + "/stats", timeout=10).json()
+        assert s["quantize_state"] == "int8"
+        assert s["quantize_parity"]["matched"] >= 1
+        assert s["quantize_parity"]["total_a"] >= 1
+    finally:
+        srv.stop()
