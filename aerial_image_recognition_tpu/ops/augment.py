@@ -114,13 +114,14 @@ def expand_tta(x: jnp.ndarray,
     """[B,H,W,3] float → ([B·V,H,W,3], weights [V]); variation-major order
     (x_v = out[v·B:(v+1)·B]).
 
-    The ``clahe_*`` variations fold into ONE multi-clip pass when the
-    Pallas LUT-apply kernel engages (TPU + clean block geometry —
+    The ``clahe_*`` variations fold into ONE multi-clip pass only when
+    the Pallas LUT-apply kernel is FORCED (clahe_backend='pallas*' —
     ops/clahe_pallas shares the VMEM one-hot across clips, so the V-fold
-    is free there). As pure XLA the fold was measured SLOWER (the wider
-    matmul tripled the HBM-materialized one-hot: 118 → 182 ms/batch-128,
-    BASELINE.md round 3), so off-TPU the ladder stays per-variation calls
-    whose identical histogram/LAB subexpressions XLA CSE shares. Results
+    is free there). By default the ladder stays per-variation XLA calls
+    whose identical histogram/LAB subexpressions XLA CSE shares: the
+    fold was measured slower as pure XLA (118 → 182 ms/batch-128,
+    BASELINE.md round 3) and the kernel itself measured slower than the
+    XLA apply on chip (round-5 A/B: TTA 264.9 vs 381.3 t/s). Results
     are bit-identical either way (tests/test_clahe*.py).
 
     clahe_hist_subsample > 1 estimates the CLAHE tile histograms from a

@@ -197,21 +197,21 @@ def _luts_from_hist(hist, clip_limit, n_px):
 
 def _pallas_apply_engages(h, w, grid, backend: str) -> bool:
     """Decide whether the Pallas LUT-apply kernel (ops/clahe_pallas) runs:
-    'auto' → on a real TPU when the geometry blocks cleanly; 'pallas' /
-    'pallas_interpret' force it (tests); 'xla' forces the jnp paths."""
+    'pallas' / 'pallas_interpret' force it (tests, A/B); everything else —
+    including 'auto' — takes the jnp lowering, which the round-5 on-chip
+    A/B measured FASTER (examples/ab_tta_clahe.py, 2026-08-20: TTA
+    end-to-end 381.3 t/s xla vs 264.9 pallas at hist_subsample=1, CLAHE
+    stage 153.6 vs 232.0 ms/128-batch — BASELINE.md round-5 table). The
+    kernel is kept as an explicit backend for future geometries where a
+    VMEM-resident one-hot could win, not as a default."""
     from aerial_image_recognition_tpu.ops import clahe_pallas as cp
 
-    if backend == "xla":
+    if backend not in ("pallas", "pallas_interpret"):
         return False
-    ok = cp.supports_geometry(h, w, *grid)
-    if backend in ("pallas", "pallas_interpret"):
-        if not ok:
-            raise ValueError(f"pallas CLAHE apply unsupported for "
-                             f"{h}x{w} grid {grid}")
-        return True
-    from aerial_image_recognition_tpu.ops.pallas_kernels import (
-        pallas_available)
-    return ok and pallas_available()
+    if not cp.supports_geometry(h, w, *grid):
+        raise ValueError(f"pallas CLAHE apply unsupported for "
+                         f"{h}x{w} grid {grid}")
+    return True
 
 
 def clahe_gray_device(l8, clip_limit: float = 2.0,
@@ -222,9 +222,9 @@ def clahe_gray_device(l8, clip_limit: float = 2.0,
     Bit-faithful port of clahe_gray (same padding, clip/redistribution,
     CDF normalization, and LUT interpolation semantics) at the default
     hist_subsample=1; >1 estimates the per-tile histograms from a
-    stride-s lattice (see _tile_histograms). On TPU the LUT-application
-    stage runs as a Pallas kernel (ops/clahe_pallas, bit-identical —
-    backend='xla' restores the jnp lowering)."""
+    stride-s lattice (see _tile_histograms). The LUT-application stage
+    runs as jnp (measured-best on chip, BASELINE.md round 5);
+    backend='pallas' forces the bit-identical ops/clahe_pallas kernel."""
     out = clahe_gray_device_multi(l8, [clip_limit], grid,
                                   hist_subsample=hist_subsample,
                                   backend=backend)
@@ -238,14 +238,15 @@ def clahe_gray_device_multi(l8, clip_limits, grid=(8, 8), *,
 
     Only the clip/redistribute step depends on the clip value, so the
     histograms are shared across V. How the LUTs get APPLIED depends on
-    the backend: on TPU ('auto') the Pallas kernel (ops/clahe_pallas)
-    folds all V variants into one VMEM-resident bit-split lookup — the
-    V-fold that LOST as pure XLA (the wider matmul tripled the
-    HBM-materialized one-hot operand: 118 → 182 ms/batch-128, BASELINE.md
-    round 3) is free when the one-hot never leaves VMEM. Off-TPU the
-    measured-best XLA formulation remains. Bit-identical to V separate
-    clahe_gray_device calls either way (pinned in tests/test_clahe.py +
-    tests/test_clahe_pallas.py)."""
+    the backend: backend='pallas' folds all V variants into one
+    VMEM-resident bit-split lookup (ops/clahe_pallas) — free of the
+    HBM-materialized one-hot that made the V-fold LOSE as pure XLA
+    (118 → 182 ms/batch-128, BASELINE.md round 3) — but the round-5
+    on-chip A/B measured the whole kernel slower than the per-variation
+    XLA ladder anyway (232.0 vs 153.6 ms/128-batch; TTA end-to-end 264.9
+    vs 381.3 t/s — BASELINE.md round 5), so 'auto' takes the XLA paths.
+    Bit-identical to V separate clahe_gray_device calls either way
+    (pinned in tests/test_clahe.py + tests/test_clahe_pallas.py)."""
     import jax.numpy as jnp
 
     b, h, w = l8.shape

@@ -122,8 +122,8 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             b = x.shape[0]
             # extra.tta_hist_subsample > 1: stride-s CLAHE histogram
             # estimation (throughput/accuracy knob — BASELINE.md round 4);
-            # extra.tta_clahe_backend: 'auto' (Pallas kernel on TPU) /
-            # 'xla' (debug/A-B escape hatch)
+            # extra.tta_clahe_backend: 'auto' = XLA apply (measured-best
+            # on chip, round-5 A/B) / 'pallas' forces the kernel
             xv, wts = expand_tta(
                 x, clahe_hist_subsample=int(
                     cfg.extra.get("tta_hist_subsample", 1)),

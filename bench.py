@@ -526,6 +526,27 @@ def main():
             assert np.isfinite(float(np.asarray(lon).sum()))
             v_q = max(v_q, batch * iters / (time.perf_counter() - t0))
     baseline = 2000.0  # tiles/s/chip target (BASELINE.json north star)
+
+    # Real-lowering smoke for the Pallas CLAHE apply kernel (VERDICT r4
+    # task 2): the kernel is opt-in (backend='pallas' — the round-5 A/B
+    # measured XLA faster, BASELINE.md), but its on-chip COMPILE must stay
+    # regression-guarded somewhere that runs on real hardware — the test
+    # suite is CPU-only and interpret mode demonstrably hides lowering
+    # bugs (round 4: 4 of them). Tiny shape (1x128x128, ~ms), result
+    # embedded as a field; failures are recorded, not fatal to the bench.
+    smoke = None
+    if os.environ.get("BENCH_CLAHE_SMOKE", "1") != "0":
+        try:
+            from aerial_image_recognition_tpu.ops.clahe import (
+                clahe_gray_device)
+            l8 = jnp.asarray(rng.integers(0, 256, (1, 128, 128)), jnp.int32)
+            got = np.asarray(clahe_gray_device(l8, 2.0, backend="pallas"))
+            want = np.asarray(clahe_gray_device(l8, 2.0, backend="xla"))
+            smoke = ("ok" if np.array_equal(got, want)
+                     else f"MISMATCH maxabs={np.abs(got - want).max()}")
+        except Exception as e:                         # noqa: BLE001
+            smoke = f"ERROR: {e}"[:200]
+
     if q_step is not None:
         out = {
             "metric": "yolov7_itcvd_640px_turnkey_int8_tiles_per_sec_per_chip",
@@ -537,6 +558,8 @@ def main():
             "turnkey_state": state,
             "parity": step.parity,
         }
+        if smoke is not None:
+            out["clahe_pallas_smoke"] = smoke
     else:
         # turnkey declined (parity/fallback) or BENCH_INT8=0: report the
         # bf16 path under its round-1..3 metric name for comparability
@@ -549,6 +572,8 @@ def main():
         }
         if state == "bf16-fallback":
             out["fallback_reason"] = step.fallback_reason
+        if smoke is not None:
+            out["clahe_pallas_smoke"] = smoke
     print(json.dumps(out))
 
 
