@@ -40,8 +40,16 @@ class FakeWorld:
     car_size_m: Tuple[float, float] = (4.5, 2.0)
     n_buildings: int = 0
     building_size_m: Tuple[float, float] = (22.0, 14.0)
+    # opt-in hard cases (accuracy A/B of the TTA/multiscale modes —
+    # the reference ran those modes to catch exactly these:
+    # x_arch/03_analyze_wms.ipynb cell 8, gpu_handler.py:94-140): this
+    # fraction of cars renders LOW-CONTRAST with an adjacent cast shadow,
+    # and every second hard car is additionally ~40% occluded by a dark
+    # "tree" blob. 0.0 keeps every existing world byte-identical.
+    hard_fraction: float = 0.0
     cars: np.ndarray = field(init=False)      # [N, 3]: lon, lat, heading
     buildings: np.ndarray = field(init=False)  # [M, 4]: lon, lat, len_m, wid_m
+    car_hard: np.ndarray = field(init=False)   # [N] bool
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -49,6 +57,9 @@ class FakeWorld:
         lat = self.center_lat + (rng.random(self.n_cars) - 0.5) * self.extent_deg
         heading = rng.random(self.n_cars) * math.pi
         self.cars = np.stack([lon, lat, heading], axis=1)
+        # separate stream so existing seeds keep their car/building layout
+        hrng = np.random.default_rng(self.seed + 2000)
+        self.car_hard = hrng.random(self.n_cars) < self.hard_fraction
         brng = np.random.default_rng(self.seed + 1000)
         blon = self.center_lon + (brng.random(self.n_buildings) - 0.5) * self.extent_deg
         blat = self.center_lat + (brng.random(self.n_buildings) - 0.5) * self.extent_deg
@@ -129,18 +140,37 @@ class FakeWorld:
         c = self.cars
         near = ((c[:, 0] >= west - 1e-4) & (c[:, 0] <= east + 1e-4)
                 & (c[:, 1] >= south - 1e-4) & (c[:, 1] <= north + 1e-4))
-        for lon, lat, hd in c[near]:
+        for i in np.where(near)[0]:
+            lon, lat, hd = c[i]
             # draw an axis-aligned bright box (heading ignored for speed)
             dx = half_l * m2lon
             dy = half_w * m2lat
-            x1 = int((lon - dx - west) * ppd_x)
-            x2 = int((lon + dx - west) * ppd_x)
-            y1 = int((north - (lat + dy)) * ppd_y)
-            y2 = int((north - (lat - dy)) * ppd_y)
-            x1, x2 = max(x1, 0), min(x2, width)
-            y1, y2 = max(y1, 0), min(y2, height)
-            if x2 > x1 and y2 > y1:
+            fx1 = (lon - dx - west) * ppd_x
+            fx2 = (lon + dx - west) * ppd_x
+            fy1 = (north - (lat + dy)) * ppd_y
+            fy2 = (north - (lat - dy)) * ppd_y
+            x1, x2 = max(int(fx1), 0), min(int(fx2), width)
+            y1, y2 = max(int(fy1), 0), min(int(fy2), height)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            if not self.car_hard[i]:
                 img[y1:y2, x1:x2] = (230, 235, 240)
+                continue
+            # hard case: cast shadow east of the car (sun from the west),
+            # then a LOW-CONTRAST body; every second hard car also gets a
+            # dark occluder over its western ~40% (tree canopy)
+            sw = max(1, int(round((fx2 - fx1) * 0.8)))
+            sx1, sx2 = min(x2, width), min(x2 + sw, width)
+            if sx2 > sx1:
+                img[y1:y2, sx1:sx2] = (
+                    img[y1:y2, sx1:sx2].astype(np.int16) * 45 // 100
+                ).astype(np.uint8)
+            img[y1:y2, x1:x2] = (152, 155, 162)
+            if i % 2 == 0:
+                ox2 = x1 + max(1, int(round((fx2 - fx1) * 0.4)))
+                oy1 = max(y1 - 1, 0)
+                oy2 = min(y2 + 1, height)
+                img[oy1:oy2, x1:min(ox2, width)] = (46, 58, 40)
         return img
 
 
