@@ -180,6 +180,38 @@ def test_fake_world_renders_cars_consistently(server):
     assert img.max() >= 230
 
 
+def test_fake_world_hard_fraction():
+    """hard_fraction renders opt-in hard cases (accuracy A/B of the
+    TTA/multiscale modes); 0.0 must keep every existing world
+    byte-identical, and the hard flags/rendering must be deterministic."""
+    kw = dict(center_lon=21.0, center_lat=52.2, extent_deg=0.01,
+              n_cars=60, seed=4)
+    bb = (20.9985, 52.1985, 21.0015, 52.2015)
+    base = FakeWorld(**kw)
+    off = FakeWorld(hard_fraction=0.0, **kw)
+    np.testing.assert_array_equal(base.render(bb, 512, 512),
+                                  off.render(bb, 512, 512))
+    assert not off.car_hard.any()
+    hard = FakeWorld(hard_fraction=0.5, **kw)
+    hard2 = FakeWorld(hard_fraction=0.5, **kw)
+    # same seed => same car layout as the base world, same hard flags
+    np.testing.assert_array_equal(hard.cars, base.cars)
+    np.testing.assert_array_equal(hard.car_hard, hard2.car_hard)
+    assert 10 < hard.car_hard.sum() < 50
+    img_b = base.render(bb, 512, 512)
+    img_h = hard.render(bb, 512, 512)
+    np.testing.assert_array_equal(img_h, hard2.render(bb, 512, 512))
+    assert (img_h != img_b).any()
+    # hard car bodies are LOW-contrast: the bright (230,235,240) body
+    # count drops relative to the all-easy render
+    bright = (img_b == np.array([230, 235, 240], np.uint8)).all(-1).sum()
+    bright_h = (img_h == np.array([230, 235, 240], np.uint8)).all(-1).sum()
+    assert bright_h < bright
+    # the low-contrast body color and the canopy occluder both appear
+    assert (img_h == np.array([152, 155, 162], np.uint8)).all(-1).any()
+    assert (img_h == np.array([46, 58, 40], np.uint8)).all(-1).any()
+
+
 def test_wms_capabilities_validate_ok(server):
     """Startup negotiation (reference wms_handler.py:83-90): a correctly
     configured fetcher validates against the advertised capabilities."""
