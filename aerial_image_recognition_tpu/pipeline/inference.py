@@ -74,6 +74,14 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
     # quad: caller asserts the input arrives in s2d^2 layout (decided by
     # build_detect_step via use_quad_stem — direct make_detect_fn callers
     # keep the [B,S,S,3] contract unless they opt in)
+    if hasattr(cfg, "extra") and cfg.extra.get("multiscale") \
+            and cfg.extra.get("multiscale_weights") is not None \
+            and len(cfg.extra["multiscale_weights"]) \
+            != len(cfg.extra["multiscale"]):
+        raise ValueError(
+            f"multiscale_weights has "
+            f"{len(cfg.extra['multiscale_weights'])} entries for "
+            f"{len(cfg.extra['multiscale'])} scales")
 
     def finish(boxes, scores, bounds):
         det = batched_nms(
@@ -148,9 +156,18 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             # by one NMS. Forward at each scale, union the decoded boxes
             # (rescaled to the base frame) before NMS.
             scales = tuple(cfg.extra["multiscale"])
+            # extra.multiscale_weights: per-scale confidence weights (the
+            # TTA ladder's per-variation-weight idea, gpu_handler_archive
+            # .py:69-122, applied across scales): the round-5 accuracy A/B
+            # showed union-NMS letting a misfit off-scale box outscore and
+            # suppress the better native-scale box on 9x4 px cars
+            # (easy-recall@IoU.5 0.983->0.740); downweighting off-native
+            # scales makes the native box win those NMS ties while
+            # off-scale-only discoveries still surface.
+            ms_wts = cfg.extra.get("multiscale_weights")
             use_mm = bool(cfg.extra.get("resize_matmul", True))
             boxes_l, scores_l = [], []
-            for sc in scales:
+            for si, sc in enumerate(scales):
                 size_s = max(32, int(round(model_size * sc / 32)) * 32)
                 if size_s == model_size:
                     xs = x
@@ -164,6 +181,8 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                         method="bilinear")
                 bb, ss = bundle.forward(params, xs)
                 boxes_l.append(bb * (model_size / size_s))
+                if ms_wts is not None and float(ms_wts[si]) != 1.0:
+                    ss = ss * jnp.asarray(float(ms_wts[si]), ss.dtype)
                 scores_l.append(ss)
             boxes = jnp.concatenate(boxes_l, axis=1)
             scores = jnp.concatenate(scores_l, axis=1)

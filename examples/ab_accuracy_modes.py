@@ -18,7 +18,8 @@ actual question (do the modes catch the shadowed/occluded cars?).
 Run (chip): PYTHONPATH=/root/repo:/root/.axon_site \
     python examples/ab_accuracy_modes.py
 Env: AB_BATCH (16), AB_OUT (artifacts/accuracy_r5/summary.json),
-     AB_MODELS ("v7,v8n")
+     AB_MODELS ("v7,v8n"), AB_MODES (comma filter over the mode names,
+     e.g. "single,ms_w90,ms_w80" — default runs single/multiscale/tta)
 """
 import json
 import math
@@ -162,7 +163,18 @@ def main():
     }
     modes = [("single", {}),
              ("multiscale", {"multiscale": [0.85, 1.0, 1.15]}),
-             ("tta", {"tta": True})]
+             ("tta", {"tta": True}),
+             # per-scale confidence weights (extra.multiscale_weights):
+             # candidates for fixing the off-scale-box-wins-NMS misfit the
+             # first A/B exposed (easy@.5 0.983 -> 0.740)
+             ("ms_w90", {"multiscale": [0.85, 1.0, 1.15],
+                         "multiscale_weights": [0.9, 1.0, 0.9]}),
+             ("ms_w80", {"multiscale": [0.85, 1.0, 1.15],
+                         "multiscale_weights": [0.8, 1.0, 0.8]}),
+             ("ms_w70", {"multiscale": [0.85, 1.0, 1.15],
+                         "multiscale_weights": [0.7, 1.0, 0.7]})]
+    mode_sel = os.environ.get("AB_MODES", "single,multiscale,tta")
+    modes = [m for m in modes if m[0] in mode_sel.split(",")]
 
     bounds = jnp.tile(jnp.asarray([[20.99, 52.19, 21.01, 52.21]],
                                   jnp.float32), (batch, 1))

@@ -43,6 +43,62 @@ def test_hex_heatmap_empty():
     assert fc["features"] == []
 
 
+def _ms_detect(extra, imgs, bounds, conf=0.002):
+    # conf sits just under the untrained prior-init objectness (~0.01) so
+    # an untrained model still yields detections to compare
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    cfg = DetectorConfig(confidence_threshold=conf)
+    cfg.extra.update(extra)
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    fn = jax.jit(make_detect_fn(bundle, cfg, model_size=64))
+    return fn(bundle.params, imgs, bounds)
+
+
+def _det_set(det):
+    valid = np.asarray(det.valid)
+    boxes = np.asarray(det.boxes, np.float32)
+    scores = np.asarray(det.scores, np.float32)
+    out = []
+    for k in range(valid.shape[0]):
+        rows = np.concatenate(
+            [boxes[k][valid[k]], scores[k][valid[k]][:, None]], axis=1)
+        out.append(rows[np.lexsort(rows.T)])
+    return out
+
+
+def test_multiscale_weights_zero_offscale_equals_single_scale():
+    """multiscale_weights [0,1,0] zeroes the off-scale scores, so the kept
+    detection set must equal plain single-scale inference — pins that the
+    weights hit exactly the per-scale score tensors and nothing else."""
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    bounds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]],
+                                  dtype=jnp.float32), (2, 1))
+    det_s, _, _ = _ms_detect({}, imgs, bounds)
+    det_m, _, _ = _ms_detect(
+        {"multiscale": [0.5, 1.0, 1.5],
+         "multiscale_weights": [0.0, 1.0, 0.0]}, imgs, bounds)
+    assert np.asarray(det_s.valid).sum() > 0   # untrained but low conf
+    for a, b in zip(_det_set(det_s), _det_set(det_m)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_multiscale_weights_validate_length():
+    from aerial_image_recognition_tpu.models.registry import create_model
+    from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+
+    cfg = DetectorConfig()
+    cfg.extra["multiscale"] = [0.85, 1.0, 1.15]
+    cfg.extra["multiscale_weights"] = [1.0, 1.0]
+    bundle = create_model("yolov7_itcvd", dtype=jnp.float32)
+    with pytest.raises(ValueError, match="multiscale_weights"):
+        make_detect_fn(bundle, cfg, model_size=64)
+
+
 def test_multiscale_detect_compiles_and_unions():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
