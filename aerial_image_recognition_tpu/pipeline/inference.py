@@ -163,8 +163,15 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             # suppress the better native-scale box on 9x4 px cars
             # (easy-recall@IoU.5 0.983->0.740); downweighting off-native
             # scales makes the native box win those NMS ties while
-            # off-scale-only discoveries still surface.
+            # off-scale-only discoveries still surface. Default 0.8 for
+            # every non-native scale: the on-chip sweep (0.7/0.8/0.9 vs
+            # unweighted, artifacts/accuracy_r5/ms_weights.json) measured
+            # 0.8 best — mAP50 0.731 vs 0.508 unweighted with multiscale's
+            # hard-case discovery intact (BASELINE.md round-5 section).
+            # Explicit all-1.0 restores the unweighted union.
             ms_wts = cfg.extra.get("multiscale_weights")
+            if ms_wts is None:
+                ms_wts = [1.0 if float(sc) == 1.0 else 0.8 for sc in scales]
             use_mm = bool(cfg.extra.get("resize_matmul", True))
             boxes_l, scores_l = [], []
             for si, sc in enumerate(scales):

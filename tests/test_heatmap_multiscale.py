@@ -86,6 +86,23 @@ def test_multiscale_weights_zero_offscale_equals_single_scale():
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
 
 
+def test_multiscale_default_weights_are_offscale_08():
+    """With no explicit multiscale_weights the step applies 0.8 to every
+    non-native scale (the round-5 on-chip sweep's winner) — pinned by
+    equality with the explicit [0.8, 1.0, 0.8] run."""
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    bounds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]],
+                                  dtype=jnp.float32), (2, 1))
+    det_d, _, _ = _ms_detect({"multiscale": [0.5, 1.0, 1.5]}, imgs, bounds)
+    det_e, _, _ = _ms_detect(
+        {"multiscale": [0.5, 1.0, 1.5],
+         "multiscale_weights": [0.8, 1.0, 0.8]}, imgs, bounds)
+    assert np.asarray(det_d.valid).sum() > 0
+    for a, b in zip(_det_set(det_d), _det_set(det_e)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+
 def test_multiscale_weights_validate_length():
     from aerial_image_recognition_tpu.models.registry import create_model
     from aerial_image_recognition_tpu.pipeline.inference import make_detect_fn
