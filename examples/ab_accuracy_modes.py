@@ -172,7 +172,11 @@ def main():
              ("ms_w80", {"multiscale": [0.85, 1.0, 1.15],
                          "multiscale_weights": [0.8, 1.0, 0.8]}),
              ("ms_w70", {"multiscale": [0.85, 1.0, 1.15],
-                         "multiscale_weights": [0.7, 1.0, 0.7]})]
+                         "multiscale_weights": [0.7, 1.0, 0.7]}),
+             # the throughput-best TTA config (stride-2 histogram
+             # estimation, BASELINE.md round-5 table) — accuracy evidence
+             # for the knob
+             ("tta_s2", {"tta": True, "tta_hist_subsample": 2})]
     mode_sel = os.environ.get("AB_MODES", "single,multiscale,tta")
     modes = [m for m in modes if m[0] in mode_sel.split(",")]
 
