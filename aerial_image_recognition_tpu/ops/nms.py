@@ -133,10 +133,47 @@ def _nms_fixpoint(top_boxes, top_scores, top_cls, conf, iou_threshold,
     )
 
 
+def box_voting(det: Detections, cand_boxes: jnp.ndarray,
+               cand_scores: jnp.ndarray, cand_cls: jnp.ndarray, *,
+               vote_iou: float, conf_threshold: float,
+               class_aware: bool) -> Detections:
+    """Score-weighted box refinement of NMS survivors (box voting,
+    Gkioxari & Girshick "Hypercolumns"-era detection refinement; weighted
+    box fusion family): each kept box is replaced by the score-weighted
+    mean of every candidate box that overlaps it at IoU >= vote_iou (same
+    class when class_aware), including the suppressed near-duplicates NMS
+    discarded. Recovers localization precision that argmax-keep throws
+    away — built for the coarse-scale regime where the round-5 accuracy
+    A/B measured box misfit as the binding error (BASELINE.md).
+
+    det: the NMS output. cand_*: the preselected candidate set the
+    suppression ran over ([B,K,4] / [B,K] / [B,K]). Scores, classes and
+    validity pass through unchanged; only boxes move.
+    """
+    w_mask = cand_scores >= conf_threshold                      # [B,K]
+    if class_aware:
+        same = det.classes[:, :, None] == cand_cls[:, None, :]  # [B,D,K]
+    else:
+        same = True
+    iou = jax.vmap(iou_matrix)(det.boxes, cand_boxes)           # [B,D,K]
+    m = (iou >= vote_iou) & same & w_mask[:, None, :]
+    w = jnp.where(m, cand_scores[:, None, :].astype(jnp.float32), 0.0)
+    tot = jnp.sum(w, axis=2, keepdims=True)                     # [B,D,1]
+    voted = jnp.einsum("bdk,bkc->bdc", w,
+                       cand_boxes.astype(jnp.float32)) / jnp.maximum(tot,
+                                                                     1e-9)
+    # invalid slots keep zeros; a valid box always matches itself, but
+    # guard tot==0 anyway (degenerate zero-area boxes)
+    keep_orig = (tot <= 0.0) | ~det.valid[..., None]
+    new_boxes = jnp.where(keep_orig, det.boxes,
+                          voted.astype(det.boxes.dtype))
+    return det._replace(boxes=new_boxes)
+
+
 @partial(jax.jit, static_argnames=("num_classes", "max_det", "pre_topk",
                                    "class_aware", "use_pallas",
                                    "iou_threshold", "preselect",
-                                   "suppression"))
+                                   "suppression", "vote_iou"))
 def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 num_classes: int,
                 conf_threshold: float = 0.3,
@@ -146,7 +183,8 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
                 class_aware: bool = True,
                 use_pallas: bool = None,
                 preselect: str = "exact",
-                suppression: str = None) -> Detections:
+                suppression: str = None,
+                vote_iou: float = None) -> Detections:
     """boxes [B,A,4] cxcywh, scores [B,A,nc] → Detections with D=max_det.
 
     preselect: 'exact' (lax.top_k) or 'approx' (lax.approx_max_k — the
@@ -155,6 +193,10 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     fused Pallas kernel (ops.pallas_kernels.nms_suppress_pallas); elsewhere
     as the lax.scan formulation. Both are exact greedy NMS with identical
     tie behavior for a given preselect.
+
+    vote_iou: when set, survivors' boxes are refined by score-weighted
+    box voting over the preselected candidates at this IoU gate
+    (box_voting above); None = off.
     """
     from aerial_image_recognition_tpu.ops.pallas_kernels import (
         nms_suppress_pallas, pallas_available)
@@ -182,28 +224,34 @@ def batched_nms(boxes: jnp.ndarray, scores: jnp.ndarray, *,
     if suppression == "fixpoint":
         # threshold in scores.dtype, matching the scan path's cast — keeps
         # the bit-identical-picks guarantee for bf16 direct callers too
-        return _nms_fixpoint(top_boxes, top_scores, top_cls, conf,
-                             jnp.asarray(iou_threshold, dtype=scores.dtype),
-                             max_det, class_aware and num_classes > 1)
-    if suppression == "scan" or not use_pallas:
+        det = _nms_fixpoint(top_boxes, top_scores, top_cls, conf,
+                            jnp.asarray(iou_threshold, dtype=scores.dtype),
+                            max_det, class_aware and num_classes > 1)
+    elif suppression == "scan" or not use_pallas:
         iou_t = jnp.asarray(iou_threshold, dtype=scores.dtype)
-        return jax.vmap(
+        det = jax.vmap(
             lambda tb, ts, tc: _nms_single(tb, ts, tc, num_classes, conf,
                                            iou_t, max_det, class_aware)
         )(top_boxes, top_scores, top_cls)
-
-    masked = jnp.where(top_scores >= conf,
-                       top_scores.astype(jnp.float32), -1.0)
-    pidx, pconf, pcls = nms_suppress_pallas(
-        top_boxes.astype(jnp.float32).transpose(0, 2, 1), masked, top_cls,
-        iou_threshold=float(iou_threshold), max_det=max_det,
-        class_aware=class_aware and num_classes > 1,
-        interpret=not pallas_available())   # CPU: interpreter-mode kernel
-    valid = pconf >= conf
-    out_boxes = jnp.take_along_axis(top_boxes, pidx[..., None], axis=1)
-    return Detections(
-        boxes=jnp.where(valid[..., None], out_boxes, 0.0),
-        scores=jnp.where(valid, pconf, 0.0),
-        classes=jnp.where(valid, pcls, -1),
-        valid=valid,
-    )
+    else:
+        masked = jnp.where(top_scores >= conf,
+                           top_scores.astype(jnp.float32), -1.0)
+        pidx, pconf, pcls = nms_suppress_pallas(
+            top_boxes.astype(jnp.float32).transpose(0, 2, 1), masked,
+            top_cls, iou_threshold=float(iou_threshold), max_det=max_det,
+            class_aware=class_aware and num_classes > 1,
+            interpret=not pallas_available())  # CPU: interpreter-mode kernel
+        valid = pconf >= conf
+        out_boxes = jnp.take_along_axis(top_boxes, pidx[..., None], axis=1)
+        det = Detections(
+            boxes=jnp.where(valid[..., None], out_boxes, 0.0),
+            scores=jnp.where(valid, pconf, 0.0),
+            classes=jnp.where(valid, pcls, -1),
+            valid=valid,
+        )
+    if vote_iou is not None:
+        det = box_voting(det, top_boxes, top_scores, top_cls,
+                         vote_iou=float(vote_iou),
+                         conf_threshold=conf_threshold,
+                         class_aware=class_aware and num_classes > 1)
+    return det

@@ -101,7 +101,11 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             preselect=cfg.extra.get("nms_preselect", "approx"),
             # None → pallas on TPU, scan elsewhere; "fixpoint" selects the
             # Jacobi-fixpoint formulation (ops/nms._nms_fixpoint)
-            suppression=cfg.extra.get("nms_suppression"))
+            suppression=cfg.extra.get("nms_suppression"),
+            # extra.box_voting: IoU gate for score-weighted box refinement
+            # of NMS survivors (ops/nms.box_voting); None = off
+            vote_iou=(float(cfg.extra["box_voting"])
+                      if cfg.extra.get("box_voting") else None))
         lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
         return det, lon, lat
 

@@ -176,7 +176,15 @@ def main():
              # the throughput-best TTA config (stride-2 histogram
              # estimation, BASELINE.md round-5 table) — accuracy evidence
              # for the knob
-             ("tta_s2", {"tta": True, "tta_hist_subsample": 2})]
+             ("tta_s2", {"tta": True, "tta_hist_subsample": 2}),
+             # score-weighted box voting over the NMS candidates
+             # (ops/nms.box_voting) — the localization lever for the
+             # coarse-scale box-misfit regime
+             ("single_bv50", {"box_voting": 0.5}),
+             ("single_bv30", {"box_voting": 0.3}),
+             ("ms_w80_bv50", {"multiscale": [0.85, 1.0, 1.15],
+                              "multiscale_weights": [0.8, 1.0, 0.8],
+                              "box_voting": 0.5})]
     mode_sel = os.environ.get("AB_MODES", "single,multiscale,tta")
     modes = [m for m in modes if m[0] in mode_sel.split(",")]
 

@@ -185,3 +185,92 @@ def test_unknown_suppression_rejected():
     with pytest.raises(ValueError, match="unknown nms suppression"):
         batched_nms(boxes, scores, num_classes=1, conf_threshold=0.3,
                     max_det=4, pre_topk=8, suppression="fixpont")
+
+
+# --- box voting (ops/nms.box_voting, extra.box_voting knob) ---------------
+
+
+def _voting_oracle(det, cand_boxes, cand_scores, cand_cls, vote_iou, conf,
+                   class_aware):
+    """Numpy reference: score-weighted mean of IoU>=gate same-class
+    candidates above conf, per kept box."""
+    from aerial_image_recognition_tpu.ops.metrics import iou_xywh
+    out = np.array(det.boxes, np.float64)
+    for b in range(out.shape[0]):
+        for d in range(out.shape[1]):
+            if not det.valid[b, d]:
+                continue
+            ious = iou_xywh(np.asarray(det.boxes[b, d])[None],
+                            np.asarray(cand_boxes[b]))[0]
+            m = (ious >= vote_iou) & (np.asarray(cand_scores[b]) >= conf)
+            if class_aware:
+                m &= np.asarray(cand_cls[b]) == int(det.classes[b, d])
+            w = np.where(m, np.asarray(cand_scores[b], np.float64), 0.0)
+            if w.sum() > 0:
+                out[b, d] = (w[:, None]
+                             * np.asarray(cand_boxes[b], np.float64)
+                             ).sum(0) / w.sum()
+    return out.astype(np.float32)
+
+
+@pytest.mark.parametrize("nc", [1, 3])
+def test_box_voting_matches_numpy_oracle(rng, nc):
+    boxes, scores = _random_problem(rng, nc=nc)
+    kw = dict(num_classes=nc, conf_threshold=0.3, iou_threshold=0.45,
+              max_det=64, pre_topk=256, class_aware=True, use_pallas=False)
+    plain = batched_nms(boxes, scores, **kw)
+    voted = batched_nms(boxes, scores, vote_iou=0.5, **kw)
+    # scores/classes/valid pass through untouched
+    np.testing.assert_array_equal(np.asarray(voted.valid),
+                                  np.asarray(plain.valid))
+    np.testing.assert_allclose(np.asarray(voted.scores),
+                               np.asarray(plain.scores), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(voted.classes),
+                                  np.asarray(plain.classes))
+    # boxes match the oracle built from the same preselection
+    import jax
+    best = jnp.max(scores, axis=-1)
+    cls = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    ts, idx = jax.lax.top_k(best, 256)
+    tb = jnp.take_along_axis(boxes, idx[..., None], axis=1)
+    tc = jnp.take_along_axis(cls, idx, axis=1)
+    want = _voting_oracle(plain, tb, ts, tc, 0.5, 0.3,
+                          class_aware=nc > 1)
+    got = np.asarray(voted.boxes)
+    v = np.asarray(voted.valid)
+    np.testing.assert_allclose(got[v], want[v], rtol=1e-4, atol=1e-3)
+    # and at least one box actually moved (duplicate-heavy problem)
+    assert np.abs(got[v] - np.asarray(plain.boxes)[v]).max() > 1e-3
+
+
+def test_box_voting_isolated_box_unmoved(rng):
+    # one isolated high-score box: voting average contains only itself
+    boxes = jnp.asarray([[[100.0, 100.0, 20.0, 10.0]]
+                         + [[500.0 + 40 * k, 500.0, 8.0, 8.0]
+                            for k in range(7)]], jnp.float32)
+    scores = jnp.asarray(
+        np.concatenate([[0.9], np.full(7, 0.01)])[None, :, None],
+        jnp.float32)
+    kw = dict(num_classes=1, conf_threshold=0.3, max_det=8, pre_topk=8,
+              use_pallas=False)
+    plain = batched_nms(boxes, scores, **kw)
+    voted = batched_nms(boxes, scores, vote_iou=0.5, **kw)
+    np.testing.assert_allclose(np.asarray(voted.boxes),
+                               np.asarray(plain.boxes), atol=1e-5)
+
+
+def test_box_voting_merges_toward_weighted_mean():
+    # two same-class candidates overlapping heavily: NMS keeps the 0.6,
+    # voting pulls it toward the score-weighted mean of both
+    boxes = jnp.asarray([[[100.0, 100.0, 20.0, 20.0],
+                          [104.0, 100.0, 20.0, 20.0]]], jnp.float32)
+    scores = jnp.asarray([[[0.6], [0.4]]], jnp.float32)
+    kw = dict(num_classes=1, conf_threshold=0.3, iou_threshold=0.45,
+              max_det=4, pre_topk=2, use_pallas=False)
+    plain = batched_nms(boxes, scores, **kw)
+    voted = batched_nms(boxes, scores, vote_iou=0.5, **kw)
+    assert int(plain.valid.sum()) == 1          # the pair was suppressed
+    want_cx = (0.6 * 100.0 + 0.4 * 104.0) / 1.0
+    got = np.asarray(voted.boxes)[0, 0]
+    np.testing.assert_allclose(got, [want_cx, 100.0, 20.0, 20.0],
+                               rtol=1e-5)
