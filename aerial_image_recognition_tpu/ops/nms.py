@@ -159,9 +159,14 @@ def box_voting(det: Detections, cand_boxes: jnp.ndarray,
     m = (iou >= vote_iou) & same & w_mask[:, None, :]
     w = jnp.where(m, cand_scores[:, None, :].astype(jnp.float32), 0.0)
     tot = jnp.sum(w, axis=2, keepdims=True)                     # [B,D,1]
-    voted = jnp.einsum("bdk,bkc->bdc", w,
-                       cand_boxes.astype(jnp.float32)) / jnp.maximum(tot,
-                                                                     1e-9)
+    # precision=HIGHEST: on TPU the default matmul precision rounds f32
+    # einsum operands to bf16 on the MXU — at 640-px coordinates that is a
+    # ±2 px ULP, the whole IoU-0.5 margin of a 9×4 px car. The round-5
+    # on-chip A/B measured exactly that as a mAP50 collapse (0.703→0.297)
+    # before this pin; CPU (full-precision einsum) never showed it.
+    voted = jnp.einsum("bdk,bkc->bdc", w, cand_boxes.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST) \
+        / jnp.maximum(tot, 1e-9)
     # invalid slots keep zeros; a valid box always matches itself, but
     # guard tot==0 anyway (degenerate zero-area boxes)
     keep_orig = (tot <= 0.0) | ~det.valid[..., None]

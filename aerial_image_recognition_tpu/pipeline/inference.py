@@ -54,6 +54,22 @@ class DetectStep:
         return images_u8
 
 
+def _resolve_vote_iou(cfg: DetectorConfig):
+    """extra.box_voting → the vote_iou passed to batched_nms.
+
+    Explicitly set: that value (0/False/None = off). Unset: 0.5 when
+    multiscale is on (the round-5 on-chip A/B measured cross-scale voting
+    best-of-any-mode — candidates from every scale refine the kept box),
+    off single-scale (measured neutral there: each box has ~1 voter).
+    """
+    if not hasattr(cfg, "extra"):
+        return None
+    if "box_voting" in cfg.extra:
+        v = cfg.extra["box_voting"]
+        return float(v) if v else None
+    return 0.5 if cfg.extra.get("multiscale") else None
+
+
 def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
                    src_size: Optional[int] = None,
                    crop_size: Optional[int] = None,
@@ -103,9 +119,14 @@ def make_detect_fn(bundle: ModelBundle, cfg: DetectorConfig,
             # Jacobi-fixpoint formulation (ops/nms._nms_fixpoint)
             suppression=cfg.extra.get("nms_suppression"),
             # extra.box_voting: IoU gate for score-weighted box refinement
-            # of NMS survivors (ops/nms.box_voting); None = off
-            vote_iou=(float(cfg.extra["box_voting"])
-                      if cfg.extra.get("box_voting") else None))
+            # of NMS survivors (ops/nms.box_voting). Unset → DEFAULT 0.5
+            # under multiscale, off otherwise: the round-5 on-chip A/B
+            # (artifacts/accuracy_r5/box_voting.json, after the einsum
+            # precision pin) measured cross-scale voting as the best mode
+            # of any tested — mAP50 0.749 vs 0.731 ms_w80 / 0.720 TTA,
+            # hard-recall@.5 +2–4 pts — while single-scale voting was
+            # neutral (0.703 vs 0.703). Explicit 0/False disables.
+            vote_iou=_resolve_vote_iou(cfg))
         lon, lat = lonlat_jax(det.boxes[..., :2], bounds, model_size)
         return det, lon, lat
 
@@ -271,6 +292,16 @@ def build_detect_step(cfg: DetectorConfig, *, batch: Optional[int] = None,
         if calib:
             bundle = quantize_bundle(bundle, [], absmax=load_absmax(calib))
         else:
+            if donate:
+                # self-calibration must replay calibration inputs (host
+                # copies for absmax, the reference batch through the int8
+                # rebuild) — donation would free those buffers under the
+                # first call. donate defaults False everywhere; fail loudly
+                # rather than read donated memory.
+                raise ValueError(
+                    "donate=True cannot compose with turnkey int8 "
+                    "self-calibration (inputs are replayed for the parity "
+                    "gate); pass a calibration file or donate=False")
             kwargs = dict(batch=batch, src_size=src_size,
                           crop_size=crop_size, model_size=model_size,
                           donate=donate, mesh=mesh, mesh_axis=mesh_axis)

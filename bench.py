@@ -547,6 +547,35 @@ def main():
         except Exception as e:                         # noqa: BLE001
             smoke = f"ERROR: {e}"[:200]
 
+    # Real-lowering smoke for box voting (ops/nms.box_voting): its einsum
+    # must carry Precision.HIGHEST — at the TPU default the MXU rounds the
+    # f32 box coordinates to bf16 (±2 px ULP at 640 px), which the round-5
+    # A/B measured as a mAP50 collapse (0.703→0.297) while CPU (where the
+    # whole suite runs) computes einsum at full precision and shows
+    # nothing. Guard: a single-voter vote must return the box bit-near
+    # itself (<0.05 px) on 600-px-scale coordinates.
+    bv_smoke = None
+    if os.environ.get("BENCH_BV_SMOKE", "1") != "0":
+        try:
+            from aerial_image_recognition_tpu.ops.nms import (
+                Detections, box_voting)
+            # disjoint 9×4 px boxes at 600-px-scale coordinates: each box's
+            # only voter is itself, so any output drift is pure precision
+            bx = jnp.asarray(
+                [[[310.7 + 40 * i, 501.3 + (i % 3), 9.2, 4.1]
+                  for i in range(8)]], jnp.float32)
+            det_s = Detections(
+                boxes=bx, scores=jnp.full((1, 8), 0.9, jnp.float32),
+                classes=jnp.zeros((1, 8), jnp.int32),
+                valid=jnp.ones((1, 8), bool))
+            vt = box_voting(det_s, bx, det_s.scores, det_s.classes,
+                            vote_iou=0.5, conf_threshold=0.1,
+                            class_aware=True)
+            err = float(jnp.max(jnp.abs(vt.boxes - bx)))
+            bv_smoke = "ok" if err < 0.05 else f"PRECISION LOSS {err:.3f} px"
+        except Exception as e:                         # noqa: BLE001
+            bv_smoke = f"ERROR: {e}"[:200]
+
     if q_step is not None:
         out = {
             "metric": "yolov7_itcvd_640px_turnkey_int8_tiles_per_sec_per_chip",
@@ -560,6 +589,8 @@ def main():
         }
         if smoke is not None:
             out["clahe_pallas_smoke"] = smoke
+        if bv_smoke is not None:
+            out["box_voting_smoke"] = bv_smoke
     else:
         # turnkey declined (parity/fallback) or BENCH_INT8=0: report the
         # bf16 path under its round-1..3 metric name for comparability
@@ -574,6 +605,8 @@ def main():
             out["fallback_reason"] = step.fallback_reason
         if smoke is not None:
             out["clahe_pallas_smoke"] = smoke
+        if bv_smoke is not None:
+            out["box_voting_smoke"] = bv_smoke
     print(json.dumps(out))
 
 

@@ -80,10 +80,40 @@ def test_multiscale_weights_zero_offscale_equals_single_scale():
     det_s, _, _ = _ms_detect({}, imgs, bounds)
     det_m, _, _ = _ms_detect(
         {"multiscale": [0.5, 1.0, 1.5],
-         "multiscale_weights": [0.0, 1.0, 0.0]}, imgs, bounds)
+         "multiscale_weights": [0.0, 1.0, 0.0],
+         # single-scale runs without voting; disable the multiscale-default
+         # voting so the comparison isolates the WEIGHTS contract
+         "box_voting": 0}, imgs, bounds)
     assert np.asarray(det_s.valid).sum() > 0   # untrained but low conf
     for a, b in zip(_det_set(det_s), _det_set(det_m)):
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
+def test_multiscale_default_box_voting_is_05():
+    """Unset extra.box_voting defaults to the 0.5-gate vote under
+    multiscale (round-5 on-chip A/B winner, artifacts/accuracy_r5/
+    box_voting.json) — pinned by equality with the explicit 0.5 run; an
+    explicit 0 disables (differs from the default on duplicate-heavy
+    input); single-scale stays vote-free (equality with explicit 0)."""
+    rng = np.random.default_rng(7)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64, 3)), jnp.uint8)
+    bounds = jnp.tile(jnp.asarray([[20.99, 52.21, 21.0, 52.22]],
+                                  dtype=jnp.float32), (2, 1))
+    ms = {"multiscale": [0.5, 1.0, 1.5]}
+    det_d, _, _ = _ms_detect(dict(ms), imgs, bounds)
+    det_e, _, _ = _ms_detect(dict(ms, box_voting=0.5), imgs, bounds)
+    det_0, _, _ = _ms_detect(dict(ms, box_voting=0), imgs, bounds)
+    assert np.asarray(det_d.valid).sum() > 0
+    for a, b in zip(_det_set(det_d), _det_set(det_e)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+    # voting moves at least some kept box on the untrained duplicate-heavy
+    # output (scores/classes/valid are pass-through, boxes differ)
+    assert any(np.abs(a - b).max() > 1e-6
+               for a, b in zip(_det_set(det_d), _det_set(det_0)))
+    det_s, _, _ = _ms_detect({}, imgs, bounds)
+    det_s0, _, _ = _ms_detect({"box_voting": 0}, imgs, bounds)
+    for a, b in zip(_det_set(det_s), _det_set(det_s0)):
+        np.testing.assert_allclose(a, b, rtol=0, atol=0)
 
 
 def test_multiscale_default_weights_are_offscale_08():

@@ -701,6 +701,25 @@ def test_int8_self_calibration_turnkey(tmp_path, bundles):
     assert int(np.asarray(out0[0].valid).sum()) >= 4
 
 
+def test_int8_self_calibration_rejects_donate(tmp_path, bundles):
+    """donate=True cannot compose with self-calibration: the shim replays
+    calibration inputs (host absmax copies, the parity reference batch
+    through the int8 rebuild), which donation would have freed. The guard
+    fails loudly at build time instead of reading donated memory."""
+    from aerial_image_recognition_tpu.models.registry import save_params
+    from aerial_image_recognition_tpu.pipeline.inference import (
+        build_detect_step)
+    from aerial_image_recognition_tpu.runtime.config import DetectorConfig
+    bundle, _, _ = bundles
+    params_path = str(tmp_path / "w.npz")
+    save_params(bundle.params, params_path)
+    cfg = DetectorConfig(confidence_threshold=0.4, params_path=params_path)
+    cfg.extra["quantize"] = "int8"      # no quantize_calib → self-calibrate
+    with pytest.raises(ValueError, match="donate"):
+        build_detect_step(cfg, batch=4, model_size=SIZE, bundle=bundle,
+                          donate=True)
+
+
 def test_int8_self_calibration_fallback(tmp_path, bundles, monkeypatch):
     """Parity-gate failure (simulated) falls back to bf16 silently: the
     scan continues, state records the reason, results stay bf16-exact."""
