@@ -54,13 +54,23 @@ def _separable_resize_core(x: jnp.ndarray, out_size: int, method: str,
     ry = jnp.asarray(ry, compute_dtype)
     rx = jnp.asarray(_resize_matrix(w, out_size, method), compute_dtype)
     xb = x.astype(compute_dtype)
+    # f32 compute must pin precision: the TPU DEFAULT matmul precision
+    # rounds f32 dot_general operands to bf16 on the MXU, silently
+    # breaking this function's "f32 inputs keep their full precision"
+    # contract (same bug class as the ops/nms.box_voting einsum — see
+    # CLAUDE.md; the 4e-5 parity test runs on CPU, where the default is
+    # already full precision, so it cannot catch this). bf16 compute
+    # keeps the default (operands are already bf16 — that IS the fast
+    # path's contract).
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else None)
     # height pass: contract H → [out_h, B, W, C]
     y = jax.lax.dot_general(
-        ry, xb, (((1,), (1,)), ((), ())),
+        ry, xb, (((1,), (1,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32).astype(compute_dtype)
     # width pass: contract W → [out_w, out_h, B, C]
     z = jax.lax.dot_general(
-        rx, y, (((1,), (2,)), ((), ())),
+        rx, y, (((1,), (2,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32).astype(out_dtype)
     return z.transpose(2, 1, 0, 3)                 # [B, out_h, out_w, C]
 

@@ -576,6 +576,22 @@ def main():
         except Exception as e:                         # noqa: BLE001
             bv_smoke = f"ERROR: {e}"[:200]
 
+    # Same bug class, second site: matmul_resize_float's f32 path promises
+    # full f32 precision (its 4e-5 parity pin runs on CPU only) — on TPU
+    # that requires the Precision.HIGHEST pin in _separable_resize_core.
+    rz_smoke = None
+    if os.environ.get("BENCH_RESIZE_SMOKE", "1") != "0":
+        try:
+            from aerial_image_recognition_tpu.ops.preprocess import (
+                matmul_resize_float)
+            xf = jnp.asarray(rng.random((2, 96, 96, 3)), jnp.float32)
+            got = matmul_resize_float(xf, 64, "bilinear")
+            want = jax.image.resize(xf, (2, 64, 64, 3), method="bilinear")
+            err = float(jnp.max(jnp.abs(got - want)))
+            rz_smoke = "ok" if err < 1e-4 else f"PRECISION LOSS {err:.2e}"
+        except Exception as e:                         # noqa: BLE001
+            rz_smoke = f"ERROR: {e}"[:200]
+
     if q_step is not None:
         out = {
             "metric": "yolov7_itcvd_640px_turnkey_int8_tiles_per_sec_per_chip",
@@ -591,6 +607,8 @@ def main():
             out["clahe_pallas_smoke"] = smoke
         if bv_smoke is not None:
             out["box_voting_smoke"] = bv_smoke
+        if rz_smoke is not None:
+            out["resize_f32_smoke"] = rz_smoke
     else:
         # turnkey declined (parity/fallback) or BENCH_INT8=0: report the
         # bf16 path under its round-1..3 metric name for comparability
@@ -607,6 +625,8 @@ def main():
             out["clahe_pallas_smoke"] = smoke
         if bv_smoke is not None:
             out["box_voting_smoke"] = bv_smoke
+        if rz_smoke is not None:
+            out["resize_f32_smoke"] = rz_smoke
     print(json.dumps(out))
 
 

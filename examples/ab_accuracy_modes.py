@@ -182,6 +182,9 @@ def main():
              # coarse-scale box-misfit regime
              ("single_bv50", {"box_voting": 0.5}),
              ("single_bv30", {"box_voting": 0.3}),
+             # voting over the TTA union: same structural situation as
+             # multiscale (V=8 candidate sets union before NMS)
+             ("tta_bv50", {"tta": True, "box_voting": 0.5}),
              ("ms_w80_bv50", {"multiscale": [0.85, 1.0, 1.15],
                               "multiscale_weights": [0.8, 1.0, 0.8],
                               "box_voting": 0.5})]
